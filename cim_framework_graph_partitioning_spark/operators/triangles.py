@@ -1,0 +1,69 @@
+"""Triangle counting (global + per-vertex).
+
+The reference's graphs are DAGs with zero triangles by construction
+(reference: graph.py:4-6), so this operator is net-new per the north
+rule. Standard two-join algorithm with DEGREE ORIENTATION: every
+undirected edge is directed from the endpoint with smaller (degree, id)
+to the larger. On power-law graphs this bounds per-vertex out-degree by
+O(sqrt(E)), which caps wedge enumeration — the critical skew control at
+scale (a raw hub self-join would generate degree^2 wedges).
+
+Plan: wedges = e1 ⋈ e2 on e1.dst = e2.src, closed by a semi-join back
+against the oriented edge set on (e1.src, e2.dst). Three shuffles total;
+AQE skew-join splits any residual hot partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .edges import symmetrize
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Undirected dedup → orient by (degree, id) ascending."""
+    und = (
+        symmetrize(edges)
+        .select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src_id").alias("id")).agg(F.count("*").alias("deg"))
+    e = (
+        und.filter(F.col("src_id") < F.col("dst_id"))
+        .join(deg.select(F.col("id").alias("src_id"), F.col("deg").alias("d_src")), "src_id")
+        .join(deg.select(F.col("id").alias("dst_id"), F.col("deg").alias("d_dst")), "dst_id")
+    )
+    keep = (F.col("d_src") < F.col("d_dst")) | (
+        (F.col("d_src") == F.col("d_dst")) & (F.col("src_id") < F.col("dst_id"))
+    )
+    return e.select(
+        F.when(keep, F.col("src_id")).otherwise(F.col("dst_id")).alias("u"),
+        F.when(keep, F.col("dst_id")).otherwise(F.col("src_id")).alias("v"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count. Returns 1-row DataFrame (n_triangles long)."""
+    return _closed_wedges(edges).agg(F.count("*").alias("n_triangles"))
+
+
+def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation counts (id, n_triangles)."""
+    tri = _closed_wedges(edges)
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count("*").alias("n_triangles"))
+
+
+def _closed_wedges(edges: DataFrame) -> DataFrame:
+    o = _oriented(edges).persist()
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    closing = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    return wedges.join(closing, ["a", "c"], "left_semi")

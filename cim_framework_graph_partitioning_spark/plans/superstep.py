@@ -1,0 +1,145 @@
+"""Generic Pregel-style superstep runtime.
+
+The reference's driver loop evaluates candidate costs, keeps the global
+best, and terminates when no legal move improves it (reference:
+process.py:94-150 stage DP; calc_cost.py:399-420 keep-best/terminate).
+This runtime generalizes that shape: per superstep one distributed
+DataFrame pass produces the next state, the driver evaluates a scalar
+convergence metric, and state + per-partition lineage + metrics are
+checkpointed so a run is resumable mid-convergence.
+
+Checkpoint layout (parquet; Iceberg layout when the connector is on the
+classpath — same DataFrame surface):
+
+  {dir}/state/superstep=N/        next state snapshot
+  {dir}/lineage/                  (run_id, superstep, partition_id, rows)
+  {dir}/metrics/                  (run_id, superstep, name, value)
+
+Checkpointing doubles as iterative-lineage truncation (SURVEY §4.3):
+re-reading the parquet snapshot cuts the logical plan that would
+otherwise grow linearly with supersteps. Without a checkpoint_dir the
+runtime falls back to ``localCheckpoint()`` (in-memory truncation, not
+resumable).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SuperstepRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str | None = None,
+        run_id: str = "run",
+        checkpoint_every: int = 1,
+    ) -> None:
+        self.spark = spark
+        self.dir = checkpoint_dir
+        self.run_id = run_id
+        self.checkpoint_every = max(1, checkpoint_every)
+        self.history: list[dict] = []  # driver-side metric log
+
+    # -- checkpoint plumbing -------------------------------------------
+
+    def _state_path(self, step: int) -> str:
+        return f"{self.dir}/state/superstep={step}"
+
+    def latest_step(self) -> int | None:
+        """Largest superstep with a committed state snapshot, else None."""
+        if not self.dir:
+            return None
+        root = f"{self.dir}/state"
+        if not os.path.isdir(root):
+            return None
+        steps = []
+        for d in os.listdir(root):
+            if d.startswith("superstep="):
+                p = os.path.join(root, d)
+                if os.path.exists(os.path.join(p, "_SUCCESS")):
+                    steps.append(int(d.split("=", 1)[1]))
+        return max(steps) if steps else None
+
+    def _checkpoint(self, state: DataFrame, step: int) -> DataFrame:
+        if self.dir:
+            path = self._state_path(step)
+            state.write.mode("overwrite").parquet(path)
+            snap = self.spark.read.parquet(path)
+            lineage = snap.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+                F.count("*").alias("rows")
+            ).select(
+                F.lit(self.run_id).alias("run_id"),
+                F.lit(step).alias("superstep"),
+                "partition_id",
+                "rows",
+            )
+            lineage.write.mode("append").parquet(f"{self.dir}/lineage")
+            return snap
+        return state.localCheckpoint(eager=True)
+
+    def _log_metrics(self, step: int, metrics: dict[str, float]) -> None:
+        self.history.append({"superstep": step, **metrics})
+        if self.dir:
+            rows = [(self.run_id, step, k, float(v)) for k, v in metrics.items()]
+            self.spark.createDataFrame(
+                rows, "run_id string, superstep int, name string, value double"
+            ).write.mode("append").parquet(f"{self.dir}/metrics")
+
+    # -- the loop -------------------------------------------------------
+
+    def run(
+        self,
+        init_state: DataFrame,
+        step_fn: Callable[[DataFrame, int], tuple[DataFrame, dict[str, float]]],
+        converged: Callable[[dict[str, float]], bool],
+        max_iter: int,
+        resume: bool = False,
+    ) -> tuple[DataFrame, int]:
+        """Iterate ``state, metrics = step_fn(state, step)`` until
+        ``converged(metrics)`` or max_iter. Returns (final_state, steps_run).
+
+        ``step_fn`` performs the distributed pass (it should ``persist()``
+        the new state before running its own convergence action, so the
+        action doubles as materialization); ``converged`` is the
+        driver-side convergence check evaluated each superstep.
+
+        Durable checkpoints (parquet + lineage + metrics) happen every
+        ``checkpoint_every`` supersteps and at convergence; in between,
+        ``localCheckpoint`` truncates the growing iterative plan.
+        """
+        start = 0
+        state = init_state
+        if resume:
+            last = self.latest_step()
+            if last is not None:
+                state = self.spark.read.parquet(self._state_path(last))
+                start = last + 1
+        if start == 0 and self.dir:
+            state = self._checkpoint(state, 0)
+
+        step = start
+        for step in range(max(start, 1), max_iter + 1):
+            new_state, metrics = step_fn(state, step)
+            self._log_metrics(step, metrics)
+            done = converged(metrics) or step == max_iter
+            if self.dir and (done or step % self.checkpoint_every == 0):
+                snap = self._checkpoint(new_state, step)
+                if new_state.is_cached:
+                    new_state.unpersist()
+                new_state = snap
+            elif step % self.checkpoint_every == 0:
+                trunc = new_state.localCheckpoint(eager=True)
+                if new_state.is_cached:
+                    new_state.unpersist()
+                new_state = trunc
+            if state.is_cached:
+                state.unpersist()
+            state = new_state
+            if done:
+                break
+        return state, step

@@ -1,0 +1,43 @@
+"""SparkSession factory.
+
+Local-mode defaults tuned for the sandbox (local[N], one JVM); on a real
+cluster the same code runs under ``spark-submit --py-files`` with
+cluster-provided master/memory and proportionally larger
+``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import default_parallelism
+
+
+def get_spark(
+    app_name: str = "cim-linkgraph",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    cores = default_parallelism()
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cores}]")
+    shuffle_partitions = shuffle_partitions or cores
+    driver_memory = driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

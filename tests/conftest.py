@@ -1,0 +1,12 @@
+from __future__ import annotations
+
+import pytest
+
+from cim_framework_graph_partitioning_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8,
+                  driver_memory="8g")
+    yield s

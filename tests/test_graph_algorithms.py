@@ -1,0 +1,140 @@
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from cim_framework_graph_partitioning_spark.operators.components import (
+    connected_components,
+)
+from cim_framework_graph_partitioning_spark.operators.edges import derive_edges
+from cim_framework_graph_partitioning_spark.operators.labelprop import (
+    label_propagation,
+)
+from cim_framework_graph_partitioning_spark.operators.pagerank import pagerank
+from cim_framework_graph_partitioning_spark.operators.triangles import (
+    triangle_count,
+    triangles_per_vertex,
+)
+from cim_framework_graph_partitioning_spark.sources.corpus import synthesize_corpus
+
+from .util_oracles import cc_oracle, lpa_oracle, pagerank_oracle, triangle_oracle
+
+
+def _edges_df(spark, triples):
+    return spark.createDataFrame(
+        [(int(u), int(v), float(w)) for u, v, w in triples],
+        "src_id long, dst_id long, weight double",
+    )
+
+
+def _random_edges(seed, n=40, m=120, weighted=True):
+    rng = random.Random(seed)
+    out = set()
+    while len(out) < m:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            out.add((u, v))
+    return [(u, v, float(rng.randint(1, 3)) if weighted else 1.0) for u, v in sorted(out)]
+
+
+@pytest.mark.parametrize(
+    "mode,tol", [("dataframe", 1e-6), ("csr", 1e-4)]
+)
+def test_pagerank_matches_numpy_oracle(spark, mode, tol):
+    """north-rule parity: per-vertex scores allclose 1e-6 (dataframe path
+    runs the full 1e-6 convergence; CSR path same semantics at 1e-4 to
+    keep the suite fast — both compare against the identical oracle)."""
+    triples = _random_edges(1)
+    ranks, steps = pagerank(spark, _edges_df(spark, triples), tol=tol, mode=mode)
+    got = {r.id: r.rank for r in ranks.collect()}
+    want = pagerank_oracle(triples, tol=tol)
+    assert set(got) == set(want)
+    assert steps > 1
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-6, abs_tol=1e-6), k
+    # rank mass conservation
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+def test_pagerank_salted_matches_plain(spark):
+    triples = _random_edges(3)
+    r1, _ = pagerank(spark, _edges_df(spark, triples), salted=False, tol=1e-4)
+    r2, _ = pagerank(spark, _edges_df(spark, triples), salted=True, tol=1e-4)
+    g1 = {r.id: r.rank for r in r1.collect()}
+    g2 = {r.id: r.rank for r in r2.collect()}
+    for k in g1:
+        assert math.isclose(g1[k], g2[k], abs_tol=1e-9)
+
+
+def test_pagerank_dangling_vertices(spark):
+    # vertex 2 is dangling (no out-edges)
+    triples = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)]
+    ranks, _ = pagerank(spark, _edges_df(spark, triples))
+    got = {r.id: r.rank for r in ranks.collect()}
+    want = pagerank_oracle(triples)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-6)
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_connected_components_exact(spark, seed):
+    rng = random.Random(seed)
+    # several small clusters + isolated pair
+    triples = []
+    base = 0
+    for csize in [5, 8, 3, 2]:
+        for _ in range(csize * 2):
+            u, v = base + rng.randrange(csize), base + rng.randrange(csize)
+            if u != v:
+                triples.append((u, v, 1.0))
+        base += 100
+    labels, _ = connected_components(spark, _edges_df(spark, triples))
+    got = {r.id: r.component for r in labels.collect()}
+    want = cc_oracle([(u, v) for u, v, _ in triples])
+    assert got == want
+
+
+def test_lpa_matches_oracle(spark):
+    triples = _random_edges(9, n=20, m=50)
+    labels, _ = label_propagation(spark, _edges_df(spark, triples), max_iter=5)
+    got = {r.id: r.label for r in labels.collect()}
+    want = lpa_oracle(triples, max_iter=5)
+    assert got == want
+
+
+def test_lpa_deterministic_across_partitioning(spark):
+    triples = _random_edges(11, n=30, m=90)
+    df = _edges_df(spark, triples)
+    l1, _ = label_propagation(spark, df.repartition(2), max_iter=4)
+    l2, _ = label_propagation(spark, df.repartition(7), max_iter=4)
+    assert {(r.id, r.label) for r in l1.collect()} == {
+        (r.id, r.label) for r in l2.collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_triangle_count_matches_bruteforce(spark, seed):
+    triples = _random_edges(seed, n=25, m=140)
+    n = triangle_count(_edges_df(spark, triples)).collect()[0].n_triangles
+    assert n == triangle_oracle([(u, v) for u, v, _ in triples])
+
+
+def test_triangles_per_vertex_sums_to_3x_global(spark):
+    triples = _random_edges(15, n=20, m=100)
+    df = _edges_df(spark, triples)
+    total = triangle_count(df).collect()[0].n_triangles
+    per_v = triangles_per_vertex(df).agg({"n_triangles": "sum"}).collect()[0][0]
+    assert per_v == 3 * total
+
+
+def test_pagerank_on_derived_corpus_graph(spark):
+    """End-to-end: corpus → edges → PageRank; hub outranks the median."""
+    files = synthesize_corpus(spark, n_files=300, n_repos=3, seed=42)
+    g = derive_edges(files)
+    ranks, steps = pagerank(spark, g.edges, tol=1e-3, max_iter=60)
+    rows = sorted(ranks.collect(), key=lambda r: -r.rank)
+    assert steps < 60  # converged
+    assert rows[0].rank > 20 * rows[len(rows) // 2].rank  # hub dominates

@@ -1,0 +1,106 @@
+"""Hand oracles for graph algorithms (numpy / pure Python, no Spark)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pagerank_oracle(edges: list[tuple[int, int, float]], damping=0.85,
+                    tol=1e-6, max_iter=200) -> dict[int, float]:
+    """Dense power iteration with dangling redistribution, matching the
+    engine's update rule and convergence criterion exactly."""
+    ids = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    w = np.zeros((n, n))
+    for u, v, wt in edges:
+        w[idx[u], idx[v]] += wt
+    out = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        dang = r[out == 0].sum()
+        contrib = np.zeros(n)
+        nz = out > 0
+        contrib = (r[nz] / out[nz]) @ w[nz]
+        new = (1 - damping) / n + damping * (contrib + dang / n)
+        if np.max(np.abs(new - r)) < tol:
+            r = new
+            break
+        r = new
+    return {v: float(r[idx[v]]) for v in ids}
+
+
+def cc_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find; component labeled by its minimum vertex id."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comps: dict[int, list[int]] = {}
+    for x in list(parent):
+        comps.setdefault(find(x), []).append(x)
+    out = {}
+    for members in comps.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def triangle_oracle(edges: list[tuple[int, int]]) -> int:
+    """Brute-force triangle enumeration over the undirected simple graph."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    count = 0
+    nodes = sorted(adj)
+    for u in nodes:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    count += 1
+    return count
+
+
+def lpa_oracle(edges: list[tuple[int, int, float]], max_iter=10):
+    """Synchronous weighted LPA, tie-break = min label among max-weight
+    labels; mirrors operators/labelprop.py exactly."""
+    nbrs: dict[int, dict[int, float]] = {}
+    for u, v, w in edges:
+        if u == v:
+            continue
+        nbrs.setdefault(u, {}).setdefault(v, 0.0)
+        nbrs.setdefault(v, {}).setdefault(u, 0.0)
+        nbrs[u][v] += w
+        nbrs[v][u] += w
+    labels = {v: v for v in nbrs}
+    for _ in range(max_iter):
+        new = {}
+        for v in nbrs:
+            votes: dict[int, float] = {}
+            for nb, w in nbrs[v].items():
+                votes[labels[nb]] = votes.get(labels[nb], 0.0) + w
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            else:
+                best = labels[v]
+            new[v] = best
+        if new == labels:
+            labels = new
+            break
+        labels = new
+    return labels
