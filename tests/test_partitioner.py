@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from cim_framework_graph_partitioning_spark.operators.partitioner import (
+    balanced_partition,
+)
+
+from .test_graph_algorithms import _edges_df
+
+
+def _clustered_edges(seed=31, clusters=4, size=12, intra=30, inter=6):
+    """Planted-partition graph: dense clusters, sparse cross edges."""
+    rng = random.Random(seed)
+    triples = set()
+    for c in range(clusters):
+        base = c * 1000
+        n = 0
+        while n < intra:
+            u, v = base + rng.randrange(size), base + rng.randrange(size)
+            if u != v and (u, v) not in triples:
+                triples.add((u, v))
+                n += 1
+    n = 0
+    while n < inter:
+        cu, cv = rng.sample(range(clusters), 2)
+        u = cu * 1000 + rng.randrange(size)
+        v = cv * 1000 + rng.randrange(size)
+        if (u, v) not in triples:
+            triples.add((u, v))
+            n += 1
+    return [(u, v, 1.0) for u, v in sorted(triples)]
+
+
+def test_partitioner_improves_and_is_monotone(spark):
+    edges = _edges_df(spark, _clustered_edges())
+    assignment, history = balanced_partition(spark, edges, k=4, max_rounds=15)
+    objs = [h["objective"] for h in history]
+    # accepted objectives strictly decrease (keep-best semantics,
+    # reference calc_cost.py:399-420)
+    assert all(a > b for a, b in zip(objs, objs[1:]))
+    assert len(objs) >= 2  # at least one improving round on a planted graph
+    # cut should drop substantially vs the hash init on a planted graph
+    assert history[-1]["cut"] < history[0]["cut"]
+
+
+def test_partitioner_assignment_valid_and_balanced(spark):
+    edges = _edges_df(spark, _clustered_edges(seed=33))
+    k = 4
+    assignment, _ = balanced_partition(spark, edges, k=k, max_rounds=15)
+    rows = assignment.collect()
+    n = len(rows)
+    assert len({r.id for r in rows}) == n  # exactly one part per vertex
+    parts = {r.part for r in rows}
+    assert parts <= set(range(k))
+    loads = assignment.groupBy("part").count().collect()
+    # imbalance bounded: no part exceeds 2x ideal on the planted graph
+    assert max(r["count"] for r in loads) <= 2 * (n / k) + 1
+
+
+def test_partitioner_deterministic(spark):
+    triples = _clustered_edges(seed=35)
+    df = _edges_df(spark, triples)
+    a1, h1 = balanced_partition(spark, df.repartition(3), k=3, max_rounds=8)
+    a2, h2 = balanced_partition(spark, df.repartition(5), k=3, max_rounds=8)
+    assert [h["objective"] for h in h1] == [h["objective"] for h in h2]
+    assert {(r.id, r.part) for r in a1.collect()} == {
+        (r.id, r.part) for r in a2.collect()
+    }
