@@ -1,0 +1,265 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure DataFrame dataflow (JVM expressions + shuffles);
+each returns results keyed so a downstream anti-join removes dupes.
+Scale notes per operator below — the shapes are the standard
+MapReduce-style dedup pipelines (shingle → minhash → band → bucket
+join), which shard by construction.
+
+No reference precedent (the reference deduplicates nothing); these are
+the training-data-pipeline extensions required alongside SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+
+# --- exact ---------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup. Returns (doc_id, canonical_id) for every
+    duplicate row (canonical = min id per identical text). One shuffle on
+    the 256-bit content hash; trivially sharded at any scale."""
+    h = docs.select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("_h")
+    )
+    canon = h.groupBy("_h").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        h.join(canon, "_h")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id")
+    )
+
+
+# --- shingling ------------------------------------------------------------
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    toks = tokens_col(text_col)
+    # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
+    # (inferred step -1) and crash slice; docs shorter than n words have
+    # no shingles — emit NULL, which explode drops.
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+# --- n-gram Jaccard -------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity via shingle inverted index:
+    pairs sharing ≥1 shingle get sim = |A∩B| / |A∪B|. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, filtered to ≥ threshold.
+
+    Scale: the self-join is on the shingle key — stop-shingle hubs are
+    the skew risk; callers should pre-filter ultra-frequent shingles
+    (df cap) the way MinHash-LSH replaces this exact pipeline entirely.
+    """
+    sh = shingles(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 32, n: int = 3, seed: int = 42,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, minhash) — k-permutation MinHash over word n-grams.
+
+    Permutation i = xxhash64(shingle, seed+i) — k independent JVM-side
+    hashes (affine-over-one-base families mix too weakly: a single
+    unlucky global-min shingle correlates every position). The k hashes
+    are emitted as one array column and pos-exploded, so the min per
+    (doc, pos) is a single map-side-combined aggregation — no per-row
+    Python, shards at any scale. A numpy applyInPandas kernel is the
+    documented fast path if k grows large.
+    """
+    sh = shingles(docs, n, id_col, text_col)
+    hashes = F.array(
+        *[F.xxhash64(F.col("shingle"), F.lit(seed + i)) for i in range(k)]
+    )
+    exploded = sh.select("doc_id", F.posexplode(hashes).alias("pos", "h"))
+    return exploded.groupBy("doc_id", "pos").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, k: int = 32, bands: int = 8, n: int = 3, seed: int = 42,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: band the k-row signature into ``bands`` bands
+    of k/bands rows; docs sharing any band bucket become candidates.
+    Returns distinct (doc_a, doc_b), doc_a < doc_b.
+
+    shingle→minhash→band→bucket-join: every stage is a keyed shuffle."""
+    r = k // bands
+    sig = minhash_signatures(docs, k, n, seed, id_col, text_col)
+    banded = (
+        sig.withColumn("band", (F.col("pos") / r).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.struct("pos", "minhash"))).cast("string"))
+            ).alias("bucket")
+        )
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame, threshold: float = 0.7, k: int = 32, bands: int = 8,
+    n: int = 3, seed: int = 42, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """LSH candidates verified by exact n-gram Jaccard ≥ threshold.
+    Returns (doc_a, doc_b, jaccard)."""
+    cands = minhash_lsh_candidates(docs, k, bands, n, seed, id_col, text_col)
+    sh = shingles(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")), "doc_b")
+        .filter(F.col("shingle") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, entirely in JVM expressions:
+    tokens → xxhash64 → per-bit ±count aggregation (64 aggregates in one
+    shuffle with map-side combine) → sign-bit reassembly.
+    Returns (doc_id, simhash long)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    bits = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for i in range(64):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
+                            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found via the
+    standard block trick: split 64 bits into (max_hamming+1) blocks —
+    any pair within distance shares at least one exact block; join on
+    (block_idx, block_value), verify with bit_count(xor)."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sh = simhash(docs, id_col, text_col)
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                )
+                for i in range(nblocks)
+            ])
+        ).alias("blk", "blk_val"),
+    )
+    a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "blk", "blk_val")
+    b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "blk", "blk_val")
+    pairs = (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --- embedding near-dup -------------------------------------------------------
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. Brute all-pairs (correct baseline;
+    O(n²) — the LSH-bucketed scale path lives in similarity.py)."""
+    from ..functions.vectors import cosine
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")).alias("cos")
+    ).filter(F.col("cos") >= threshold)
+
+
+def dedup_keep_canonical(docs: DataFrame, dup_pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Remove every doc that appears as the larger id of a dup pair
+    (connected-components-free greedy: keeps at least one per group)."""
+    losers = dup_pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")

@@ -1,0 +1,158 @@
+from __future__ import annotations
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cim_framework_graph_partitioning_spark.functions.text import (
+    lang_id,
+    quality_score,
+    token_count,
+)
+from cim_framework_graph_partitioning_spark.operators.dedup import (
+    dedup_keep_canonical,
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+)
+from cim_framework_graph_partitioning_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    numpy_topk,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river edge"),  # near dup of 0
+    (3, "completely different content about spark dataframes and shuffles"),
+    (4, "another unrelated text mentioning partitions joins and aggregates"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def _jaccard(a: str, b: str, n=3):
+    def sh(s):
+        t = s.lower().split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_exact_duplicates(spark, docs):
+    dups = exact_duplicates(docs).collect()
+    assert [(r.doc_id, r.canonical_id) for r in dups] == [(1, 0)]
+    kept = dedup_keep_canonical(docs, spark.createDataFrame(
+        [(0, 1)], "doc_a long, doc_b long"))
+    assert kept.count() == 4
+
+
+def test_ngram_jaccard_matches_hand_computation(spark, docs):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3).collect()
+    }
+    texts = dict(DOCS)
+    for (a, b), j in got.items():
+        assert math.isclose(j, _jaccard(texts[a], texts[b]), abs_tol=1e-12)
+    assert math.isclose(got[(0, 1)], 1.0, abs_tol=1e-12)
+    assert got[(0, 2)] > 0.5
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    cands = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(docs, k=32, bands=16).collect()}
+    assert (0, 1) in cands  # identical docs always collide
+    assert (0, 2) in cands  # high-jaccard pair collides with 16 bands
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_duplicates(docs, threshold=0.5, k=32, bands=16).collect()
+    }
+    assert set(verified) == {(0, 1), (0, 2), (1, 2)}
+    # verification step reports EXACT jaccard
+    texts = dict(DOCS)
+    for (a, b), j in verified.items():
+        assert math.isclose(j, _jaccard(texts[a], texts[b]), abs_tol=1e-12)
+
+
+def test_simhash_near_duplicates(spark, docs):
+    vals = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert vals[0] == vals[1]  # identical text -> identical simhash
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             simhash_near_duplicates(docs, max_hamming=8).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs  # one-word swap stays within hamming 8
+    assert (0, 3) not in pairs
+
+
+def _toy_embeddings(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 8))
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(8)  # planted near-dup
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_duplicates(spark):
+    rows, emb = _toy_embeddings(spark)
+    got = {(r.id_a, r.id_b) for r in embedding_near_duplicates(emb, threshold=0.99).collect()}
+    assert got == {(0, 1)}
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rows, emb = _toy_embeddings(spark)
+    mat = np.array([v for _, v in rows])
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    np.fill_diagonal(sims, -np.inf)
+    got = brute_force_topk(emb, emb, k=3).collect()
+    for r in got:
+        # cos matches numpy
+        assert math.isclose(r.cos, sims[r.query_id][r.neighbor_id], abs_tol=1e-9)
+    want_top1 = {q: int(np.argmax(sims[q])) for q in range(20)}
+    got_top1 = {r.query_id: r.neighbor_id for r in got if r.rank == 1}
+    assert got_top1 == want_top1
+
+
+def test_numpy_topk_matches_brute_force(spark):
+    _, emb = _toy_embeddings(spark)
+    bf = {(r.query_id, r.rank): r.neighbor_id for r in brute_force_topk(emb, emb, k=3).collect()}
+    npk = {(r.query_id, r.rank): r.neighbor_id for r in numpy_topk(emb, emb, k=3).collect()}
+    assert bf == npk
+
+
+def test_lsh_topk_subset_of_bucket_and_sane(spark):
+    _, emb = _toy_embeddings(spark)
+    got = lsh_topk(emb, emb, k=3, n_planes=2, dim=8).collect()
+    assert len(got) > 0
+    bf = {(r.query_id, r.neighbor_id): r.cos for r in brute_force_topk(emb, emb, k=19).collect()}
+    for r in got:  # scores must agree with exact cosine
+        assert math.isclose(r.cos, bf[(r.query_id, r.neighbor_id)], abs_tol=1e-9)
+    # planted near-dup pair shares every bucket -> must be each other's top-1
+    top1 = {r.query_id: r.neighbor_id for r in got if r.rank == 1}
+    assert top1[0] == 1 and top1[1] == 0
+
+
+def test_text_stats_on_documents_table(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("pred_lang"),
+    )
+    rows = out.collect()
+    assert all(r.n_tokens > 0 for r in rows)
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert {r.pred_lang for r in rows} <= {"en", "code", "unknown"}
