@@ -1,0 +1,133 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
+
+The north-star metric (BASELINE.md) — PageRank edges/sec to 1e-6 on the
+corpus-derived edge table — is reported in "extra" alongside supersteps
+and edge counts; scaling-efficiency evidence (local[8] vs local[32]) is
+produced by scripts/scaling_bench.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cim_framework_graph_partitioning_spark.operators.components import (  # noqa: E402
+    connected_components,
+)
+from cim_framework_graph_partitioning_spark.operators.dedup import (  # noqa: E402
+    minhash_near_duplicates,
+)
+from cim_framework_graph_partitioning_spark.operators.edges import derive_edges  # noqa: E402
+from cim_framework_graph_partitioning_spark.operators.labelprop import (  # noqa: E402
+    label_propagation,
+)
+from cim_framework_graph_partitioning_spark.operators.pagerank import pagerank  # noqa: E402
+from cim_framework_graph_partitioning_spark.operators.partitioner import (  # noqa: E402
+    balanced_partition,
+)
+from cim_framework_graph_partitioning_spark.operators.triangles import (  # noqa: E402
+    triangle_count,
+)
+from cim_framework_graph_partitioning_spark.queries import (  # noqa: E402
+    q_embedding_topk,
+    q_events_sessions,
+    q_pricing_summary,
+    q_top_customers,
+    q_top_depended_parts,
+)
+from cim_framework_graph_partitioning_spark.session import get_spark  # noqa: E402
+from cim_framework_graph_partitioning_spark.sources.corpus import synthesize_corpus  # noqa: E402
+
+CORPUS_FILES = int(os.environ.get("BENCH_CORPUS_FILES", "20000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # --- corpus pipeline (north-star path) -------------------------------
+    files = synthesize_corpus(spark, n_files=CORPUS_FILES, n_repos=200, seed=42)
+    g = derive_edges(files)
+    edges = g.edges.persist()
+    n_edges = timed("corpus_derive_edges", lambda: edges.count())
+    extra["corpus_edges"] = n_edges
+
+    _, steps = timed(
+        "pagerank_corpus_1e6",
+        lambda: pagerank(spark, edges, tol=1e-6, max_iter=200, checkpoint_every=8),
+    )
+    extra["pagerank_supersteps"] = steps
+    extra["pagerank_edges_per_sec"] = round(
+        n_edges * steps / timings["pagerank_corpus_1e6"], 1
+    )
+    _, steps_csr = timed(
+        "pagerank_corpus_csr",
+        lambda: pagerank(spark, edges, tol=1e-6, max_iter=200, mode="csr",
+                         checkpoint_every=8),
+    )
+    extra["pagerank_csr_edges_per_sec"] = round(
+        n_edges * steps_csr / timings["pagerank_corpus_csr"], 1
+    )
+    timed("cc_corpus", lambda: connected_components(spark, edges)[0].count())
+    timed("lpa_corpus_5", lambda: label_propagation(spark, edges, max_iter=5)[0].count())
+    timed("triangles_corpus", lambda: triangle_count(edges).collect())
+    timed(
+        "partition_corpus_k32",
+        lambda: balanced_partition(spark, edges, k=32, max_rounds=5)[0].count(),
+    )
+    edges.unpersist()
+
+    # --- testdata-table headliners ---------------------------------------
+    timed("top_depended_parts", lambda: q_top_depended_parts(spark, sf_dir).collect())
+    timed("pricing_summary", lambda: q_pricing_summary(spark, sf_dir).collect())
+    timed("top_customers", lambda: q_top_customers(spark, sf_dir).collect())
+    timed("events_sessions", lambda: q_events_sessions(spark, sf_dir).collect())
+    timed("embedding_topk", lambda: q_embedding_topk(spark, sf_dir).collect())
+    timed(
+        "minhash_near_dups_docs",
+        lambda: minhash_near_duplicates(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.4
+        ).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,737 @@
+"""Driver-contract query catalog: every implemented operator exposed as
+(spark_fn, oracle_sql) over the shared testdata tables.
+
+Each Spark callable takes (spark, sf_dir) → DataFrame; the oracle is the
+equivalent ANSI SQL DuckDB runs on the same parquet (views pre-registered
+by the driver). Column names/aliases match exactly; floats are rounded
+identically on both sides so the value-hash comparison is stable.
+
+Operators with no SQL-expressible equivalent (iterative-to-convergence,
+LSH internals) carry ``oracle=None`` → the driver records a rows-only
+check (documented per entry).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import lang_id, punct_ratio, quality_score, token_count
+from .functions.vectors import cosine
+from .operators.components import connected_components
+from .operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from .operators.edges import derive_edges
+from .operators.labelprop import label_propagation
+from .operators.pagerank import pagerank
+from .operators.partitioner import balanced_partition
+from .operators.similarity import brute_force_topk
+from .operators.triangles import triangle_count
+from .sources.corpus import synthesize_corpus
+from .sources.fk_graphs import PART_OFFSET, co_supplier_edges, supplier_part_edges
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_T = {
+    t: f"{{sf}}/{t}.parquet"
+    for t in ("lineitem", "orders", "customer", "supplier", "part", "nation",
+              "region", "events", "documents", "embeddings")
+}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# graph queries (edge tables from FKs; SURVEY §2.1 #6-#9, §2.3)
+# --------------------------------------------------------------------------
+
+def q_top_depended_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: top-10 most depended-on vertices (in-weight) — the
+    minimum end-to-end slice from SURVEY §7.1#3."""
+    e = supplier_part_edges(spark, sf_dir)
+    return (
+        e.groupBy(F.col("dst_id").alias("part_vertex"))
+        .agg(
+            F.sum("weight").alias("in_weight"),
+            F.count("*").cast("long").alias("in_degree"),
+        )
+        .orderBy(F.col("in_weight").desc(), F.col("part_vertex").asc())
+        .limit(10)
+    )
+
+
+_SQL_EDGES = f"""
+  SELECT l_suppkey AS src_id, {PART_OFFSET} + l_partkey AS dst_id,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM lineitem GROUP BY 1, 2
+"""
+
+_ORACLE_TOP_DEPENDED = f"""
+WITH edges AS ({_SQL_EDGES})
+SELECT dst_id AS part_vertex, sum(weight) AS in_weight,
+       CAST(count(*) AS BIGINT) AS in_degree
+FROM edges GROUP BY 1
+ORDER BY in_weight DESC, part_vertex ASC LIMIT 10
+"""
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree histogram over the supplier→part graph."""
+    e = supplier_part_edges(spark, sf_dir)
+    deg = e.groupBy("dst_id").agg(F.count("*").alias("in_degree"))
+    return (
+        deg.groupBy("in_degree")
+        .agg(F.count("*").cast("long").alias("n_vertices"))
+        .orderBy("in_degree")
+    )
+
+
+_ORACLE_DEGREE_DIST = f"""
+WITH edges AS ({_SQL_EDGES}),
+deg AS (SELECT dst_id, count(*) AS in_degree FROM edges GROUP BY 1)
+SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_pagerank_3steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three exact PageRank supersteps on the bipartite supplier→part
+    graph (every part vertex is dangling — exercises the dangling-mass
+    path). Oracle = hand-unrolled SQL of the identical update rule."""
+    e = supplier_part_edges(spark, sf_dir)
+    ranks, _ = pagerank(spark, e, damping=0.85, tol=0.0, max_iter=3)
+    return ranks.select("id", F.round("rank", 10).alias("rank")).orderBy("id")
+
+
+def _pagerank_sql(steps: int) -> str:
+    pre = f"""
+WITH edges AS ({_SQL_EDGES}),
+verts AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges
+                                   UNION ALL SELECT dst_id FROM edges)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts),
+outw AS (SELECT src_id, sum(weight) AS wo FROM edges GROUP BY 1),
+norm AS (SELECT src_id, dst_id, weight / wo AS frac
+         FROM edges JOIN outw USING (src_id)),
+r0 AS (SELECT id, 1.0 / (SELECT c FROM nn) AS rank FROM verts)"""
+    body = ""
+    for i in range(1, steps + 1):
+        p = i - 1
+        body += f""",
+d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{p}
+        WHERE id NOT IN (SELECT src_id FROM outw)),
+s{i} AS (SELECT dst_id, sum(r{p}.rank * frac) AS s
+        FROM norm JOIN r{p} ON r{p}.id = norm.src_id GROUP BY 1),
+r{i} AS (SELECT v.id,
+               0.15 / (SELECT c FROM nn)
+               + 0.85 * ((SELECT dm FROM d{i}) / (SELECT c FROM nn)
+                         + coalesce(s.s, 0)) AS rank
+        FROM verts v LEFT JOIN s{i} s ON v.id = s.dst_id)"""
+    return pre + body + f"\nSELECT id, round(rank, 10) AS rank FROM r{steps} ORDER BY id"
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC on the co-supplier graph, exact at convergence; the oracle
+    unrolls 4 min-label steps (graph diameter is tiny)."""
+    e = co_supplier_edges(spark, sf_dir)
+    labels, _ = connected_components(spark, e)
+    return labels.orderBy("id")
+
+
+_SQL_CO_SUPPLIER = """
+  SELECT a.l_suppkey AS src_id, b.l_suppkey AS dst_id
+  FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem) b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+"""
+
+
+def _cc_sql(steps: int) -> str:
+    pre = f"""
+WITH e0 AS ({_SQL_CO_SUPPLIER}),
+und AS (SELECT src_id, dst_id FROM e0
+        UNION SELECT dst_id, src_id FROM e0),
+verts AS (SELECT DISTINCT src_id AS id FROM und),
+l0 AS (SELECT id, id AS component FROM verts)"""
+    body = ""
+    for i in range(1, steps + 1):
+        p = i - 1
+        body += f""",
+m{i} AS (SELECT und.dst_id AS id, min(l{p}.component) AS nc
+        FROM l{p} JOIN und ON l{p}.id = und.src_id GROUP BY 1),
+l{i} AS (SELECT l{p}.id, least(l{p}.component, coalesce(m{i}.nc, l{p}.component)) AS component
+        FROM l{p} LEFT JOIN m{i} ON l{p}.id = m{i}.id)"""
+    return pre + body + f"\nSELECT id, component FROM l{steps} ORDER BY id"
+
+
+def q_lpa_1step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous LPA superstep (deterministic tie-break) on the
+    co-supplier graph."""
+    e = co_supplier_edges(spark, sf_dir)
+    labels, _ = label_propagation(spark, e, max_iter=1)
+    return labels.orderBy("id")
+
+
+_ORACLE_LPA_1STEP = f"""
+WITH e0 AS ({_SQL_CO_SUPPLIER}),
+und0 AS (SELECT src_id, dst_id, 1.0 AS weight FROM e0
+         UNION ALL SELECT dst_id, src_id, 1.0 FROM e0),
+und AS (SELECT src_id, dst_id, sum(weight) AS weight FROM und0 GROUP BY 1, 2),
+verts AS (SELECT DISTINCT src_id AS id FROM und),
+l0 AS (SELECT id, id AS label FROM verts),
+votes AS (SELECT und.dst_id, l0.label, sum(und.weight) AS wsum
+          FROM l0 JOIN und ON l0.id = und.src_id GROUP BY 1, 2),
+ranked AS (SELECT dst_id, label,
+                  row_number() OVER (PARTITION BY dst_id
+                                     ORDER BY wsum DESC, label ASC) AS rn
+           FROM votes)
+SELECT l0.id, coalesce(r.label, l0.id) AS label
+FROM l0 LEFT JOIN (SELECT dst_id, label FROM ranked WHERE rn = 1) r
+  ON l0.id = r.dst_id
+ORDER BY l0.id
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = co_supplier_edges(spark, sf_dir)
+    return triangle_count(e)
+
+
+_ORACLE_TRIANGLES = f"""
+WITH e AS ({_SQL_CO_SUPPLIER})
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e a JOIN e b ON a.dst_id = b.src_id
+JOIN e c ON c.src_id = a.src_id AND c.dst_id = b.dst_id
+"""
+
+
+def q_graph_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsen the customer→supplier purchase graph by nation (the
+    reference's contraction, process.py:34-88: two label joins + agg)."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+    )
+    return (
+        g.groupBy(
+            F.col("c_nationkey").cast("long").alias("src_nation"),
+            F.col("s_nationkey").cast("long").alias("dst_nation"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 6).alias("weight"))
+        .filter(F.col("src_nation") != F.col("dst_nation"))
+        .orderBy("src_nation", "dst_nation")
+    )
+
+
+_ORACLE_CONTRACTION = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS src_nation,
+       CAST(s.s_nationkey AS BIGINT) AS dst_nation,
+       round(sum(l.l_quantity), 6) AS weight
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+HAVING CAST(c.c_nationkey AS BIGINT) <> CAST(s.s_nationkey AS BIGINT)
+ORDER BY 1, 2
+"""
+
+
+def q_frontier_indegree0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree-0 frontier (the reference's Kahn peel seed,
+    graph.py:33): parts never purchased, via anti-join."""
+    p = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        p.join(li.select(F.col("l_partkey").alias("p_partkey")), "p_partkey", "left_anti")
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
+_ORACLE_FRONTIER = """
+SELECT p_partkey FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+ORDER BY p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# relational operator coverage (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+             F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+_ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 4) AS total_spent,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 ORDER BY total_spent DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def q_monthly_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed cumulative monthly revenue (window-function coverage)."""
+    o = _read(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        F.round("rev", 4).alias("revenue"),
+        F.round(F.sum("rev").over(w), 4).alias("cumulative_revenue"),
+    ).orderBy("month")
+
+
+_ORACLE_MONTHLY = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1)
+SELECT month, round(rev, 4) AS revenue,
+       round(sum(rev) OVER (ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS cumulative_revenue
+FROM monthly ORDER BY month
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+_ORACLE_NO_ORDERS = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def q_suppliers_of_large_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join coverage: suppliers that ship any part with size > 40."""
+    s = _read(spark, sf_dir, "supplier")
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    big = li.join(p.filter(F.col("p_size") > 40), li.l_partkey == p.p_partkey)
+    return (
+        s.join(big.select(F.col("l_suppkey").alias("s_suppkey")), "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLE_SEMI = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size > 40)
+ORDER BY s_suppkey
+"""
+
+
+def q_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.countDistinct("l_partkey").alias("n_distinct_parts"))
+        .orderBy("suppkey")
+    )
+
+
+_ORACLE_DISTINCT = """
+SELECT l_suppkey AS suppkey,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("revenue"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 4) AS revenue
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q_setops_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op coverage: acctbal>5000 customers EXCEPT 'BUILDING' segment."""
+    c = _read(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return rich.exceptAll(building).orderBy("c_custkey")
+
+
+_ORACLE_SETOPS = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# events: time-window + sessionization
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+_ORACLE_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session; sessions per user."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    new_s = F.when(
+        F.col("prev_ts").isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        lagged.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_SESSIONS = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL
+                     OR epoch(ts) - epoch(prev_ts) > 1800
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM lagged GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# documents / embeddings: text analytics, dedup, similarity
+# --------------------------------------------------------------------------
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+_ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+         AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_punct_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(punct_ratio("text"), 6).alias("punct_ratio")
+    ).orderBy("doc_id")
+
+
+_ORACLE_PUNCT = """
+SELECT doc_id,
+       round(CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+             ELSE 0.0 END, 6) AS punct_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_exact_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return exact_duplicates(d).orderBy("doc_id")
+
+
+_ORACLE_EXACT_DEDUP = """
+WITH h AS (SELECT doc_id, text FROM documents),
+canon AS (SELECT text, min(doc_id) AS canonical_id FROM h GROUP BY 1)
+SELECT h.doc_id, c.canonical_id
+FROM h JOIN canon c ON h.text = c.text
+WHERE h.doc_id <> c.canonical_id
+ORDER BY h.doc_id
+"""
+
+
+def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set (1-gram) Jaccard ≥ 0.5 pairs — the SQL-checkable slice
+    of the n-gram dedup family."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(d, n=1, threshold=0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_ORACLE_TOKEN_JACCARD = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+  FROM documents WHERE trim(text) <> ''),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 5 vectors."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(q, emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+_ORACLE_EMB_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+  FROM q, c WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_duplicates(emb, threshold=0.5)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_ORACLE_EMB_NEAR = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.5
+ORDER BY 1, 2
+"""
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id("text").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+# lang_id is a fixed stopword/pattern heuristic — mirror it in SQL.
+_ORACLE_LANG_ID = r"""
+WITH scored AS (
+  SELECT CASE
+    WHEN trim(text) <> ''
+     AND len(regexp_extract_all(lower(text),
+         '\b(the|and|of|to|a|in|is|it|that|for)\b')) * 1.0
+         / len(regexp_split_to_array(trim(text), '\s+')) > 0.05 THEN 'en'
+    WHEN len(regexp_extract_all(text, '(?m)^\s*(def |import |#include|func )')) > 0
+      THEN 'code'
+    ELSE 'unknown' END AS pred_lang
+  FROM documents)
+SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible (rows-only checks): iterative convergence, LSH, corpus
+# --------------------------------------------------------------------------
+
+def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = supplier_part_edges(spark, sf_dir)
+    ranks, _ = pagerank(spark, e, tol=1e-6, max_iter=100)
+    return ranks.select("id", F.round("rank", 10).alias("rank")).orderBy("id")
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return (
+        minhash_near_duplicates(d, threshold=0.4, k=32, bands=16)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=6).orderBy("doc_a", "doc_b")
+
+
+def q_balanced_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = co_supplier_edges(spark, sf_dir)
+    assignment, _ = balanced_partition(spark, e, k=4, max_rounds=10)
+    return assignment.orderBy("id")
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full north-rule pipeline at test scale: synthesize corpus →
+    derive edges → PageRank to 1e-6 → top 20. Deterministic."""
+    files = synthesize_corpus(spark, n_files=500, n_repos=10, seed=42)
+    g = derive_edges(files)
+    ranks, _ = pagerank(spark, g.edges, tol=1e-6, max_iter=100)
+    return (
+        ranks.join(g.vertices, "id")
+        .select("repo", "path", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), "repo", "path")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # graph
+    "top_depended_parts": (q_top_depended_parts, _ORACLE_TOP_DEPENDED),
+    "degree_distribution": (q_degree_distribution, _ORACLE_DEGREE_DIST),
+    "pagerank_3steps": (q_pagerank_3steps, _pagerank_sql(3)),
+    "connected_components": (q_connected_components, _cc_sql(4)),
+    "lpa_1step": (q_lpa_1step, _ORACLE_LPA_1STEP),
+    "triangle_count": (q_triangle_count, _ORACLE_TRIANGLES),
+    "graph_contraction": (q_graph_contraction, _ORACLE_CONTRACTION),
+    "frontier_indegree0": (q_frontier_indegree0, _ORACLE_FRONTIER),
+    # relational
+    "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
+    "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),
+    "monthly_running_revenue": (q_monthly_running_revenue, _ORACLE_MONTHLY),
+    "customers_without_orders": (q_customers_without_orders, _ORACLE_NO_ORDERS),
+    "suppliers_of_large_parts": (q_suppliers_of_large_parts, _ORACLE_SEMI),
+    "distinct_parts_per_supplier": (q_distinct_parts_per_supplier, _ORACLE_DISTINCT),
+    "rollup_revenue": (q_rollup_revenue, _ORACLE_ROLLUP),
+    "setops_rich_customers": (q_setops_rich_customers, _ORACLE_SETOPS),
+    # events
+    "events_hourly": (q_events_hourly, _ORACLE_EVENTS_HOURLY),
+    "events_sessions": (q_events_sessions, _ORACLE_SESSIONS),
+    # documents / embeddings
+    "doc_token_stats": (q_doc_token_stats, _ORACLE_TOKEN_STATS),
+    "doc_punct_ratio": (q_doc_punct_ratio, _ORACLE_PUNCT),
+    "exact_dedup_pairs": (q_exact_dedup_pairs, _ORACLE_EXACT_DEDUP),
+    "token_jaccard_pairs": (q_token_jaccard_pairs, _ORACLE_TOKEN_JACCARD),
+    "embedding_topk": (q_embedding_topk, _ORACLE_EMB_TOPK),
+    "embedding_near_dups": (q_embedding_near_dups, _ORACLE_EMB_NEAR),
+    "lang_id_counts": (q_lang_id_counts, _ORACLE_LANG_ID),
+    # rows-only (non-SQL-expressible)
+    "pagerank_converged": (q_pagerank_converged, None),
+    "minhash_near_dups": (q_minhash_near_dups, None),
+    "simhash_near_dups": (q_simhash_near_dups, None),
+    "balanced_partition": (q_balanced_partition, None),
+    "corpus_pipeline": (q_corpus_pipeline, None),
+}

@@ -1,0 +1,30 @@
+"""Enforce the input_hint hard requirement: no per-row Python UDFs and
+no RDD row lambdas anywhere in the engine (SURVEY §7.3#6). Vectorized
+pandas/Arrow UDFs (pandas_udf, applyInPandas, mapInPandas) are the only
+sanctioned Python execution paths."""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).parent.parent / "cim_framework_graph_partitioning_spark"
+
+BANNED = [
+    re.compile(r"\bF\.udf\("),
+    re.compile(r"(?<!pandas_)\budf\(\s*lambda"),
+    re.compile(r"@udf\b"),
+    re.compile(r"\.rdd\b"),
+    re.compile(r"\bsc\.parallelize\("),
+]
+
+
+def test_no_row_at_a_time_python():
+    offenders = []
+    for path in PKG.rglob("*.py"):
+        text = path.read_text()
+        for rx in BANNED:
+            for m in rx.finditer(text):
+                line = text[: m.start()].count("\n") + 1
+                offenders.append(f"{path.name}:{line}:{m.group(0)}")
+    assert not offenders, f"per-row Python found: {offenders}"
