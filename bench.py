@@ -94,8 +94,8 @@ def main() -> None:
     timed("lpa_corpus_5", lambda: label_propagation(spark, edges, max_iter=5)[0].count())
     timed("triangles_corpus", lambda: triangle_count(edges).collect())
     timed(
-        "partition_corpus_k32",
-        lambda: balanced_partition(spark, edges, k=32, max_rounds=5)[0].count(),
+        "partition_corpus_k8",
+        lambda: balanced_partition(spark, edges, k=8, max_rounds=3)[0].count(),
     )
     edges.unpersist()
 

@@ -47,7 +47,7 @@ def connected_components(
 
     def step_fn(labels: DataFrame, step: int):
         nbr_min = (
-            labels.join(und, labels.id == und.src_id)
+            labels.hint("shuffle_hash").join(und, labels.id == und.src_id)
             .groupBy("dst_id")
             .agg(F.min("component").alias("nbr_component"))
         )

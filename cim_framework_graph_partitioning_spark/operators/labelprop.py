@@ -51,7 +51,7 @@ def label_propagation(
 
     def step_fn(labels: DataFrame, step: int):
         votes = (
-            labels.join(und, labels.id == und.src_id)
+            labels.hint("shuffle_hash").join(und, labels.id == und.src_id)
             .groupBy("dst_id", "label")
             .agg(F.sum("weight").alias("wsum"))
         )

@@ -72,8 +72,12 @@ def pagerank(
     checkpoint_every: int = 4,
     resume: bool = False,
     run_id: str = "pagerank",
+    metrics_sink: list | None = None,
 ) -> tuple[DataFrame, int]:
-    """Returns (ranks(id, rank), supersteps_run). Ranks sum to 1."""
+    """Returns (ranks(id, rank), supersteps_run). Ranks sum to 1.
+
+    ``metrics_sink``: optional list that receives the per-superstep
+    metric dicts (max_delta, dangling_mass, superstep_sec)."""
     sc = spark.sparkContext
     p = num_blocks or sc.defaultParallelism
 
@@ -113,7 +117,11 @@ def pagerank(
         if mode == "csr":
             sums = _csr_contributions(ranks.select("id", "rank"), blocks, p)
         else:
-            contribs = ranks.join(norm, ranks.id == norm.src_id).select(
+            # shuffle-hash, not sort-merge: the cached edge table must
+            # not be re-sorted every superstep (measured 1.8x/step), and
+            # the rank table is never broadcastable at the target scale.
+            r = ranks.hint("shuffle_hash")
+            contribs = r.join(norm, r.id == norm.src_id).select(
                 "dst_id", (F.col("rank") * F.col("frac")).alias("contrib")
             )
             if salted:
@@ -127,40 +135,57 @@ def pagerank(
             else:
                 sums = contribs.groupBy("dst_id").agg(F.sum("contrib").alias("s"))
 
+        # base rides in a 1-row broadcast table, NOT a literal: literals
+        # change per superstep and defeat the whole-stage-codegen cache
+        # (a serial driver-side recompile every step).
         base = (1.0 - damping) / n + damping * state["dang"] / n
+        base_df = spark.createDataFrame([(float(base),)], "base double")
+        prev = ranks.select("id", F.col("rank").alias("prev")).hint("shuffle_hash")
         new_ranks = (
-            verts.join(sums, verts.id == sums.dst_id, "left")
+            verts.join(sums.hint("shuffle_hash"), verts.id == sums.dst_id, "left")
+            .join(prev, "id")
+            .crossJoin(F.broadcast(base_df))
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+                (F.col("base") + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
                 "has_out",
+                "prev",
             )
-        ).persist()
-        # ONE action: convergence delta + next superstep's dangling mass
-        # (materializes new_ranks into the cache as a side effect).
-        row = (
-            new_ranks.alias("nw")
-            .join(ranks.alias("old").select("id", F.col("rank").alias("prev")), "id")
-            .agg(
-                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"),
-                F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias("dm"),
-            )
-            .collect()[0]
         )
+        # job 1: materialize + truncate lineage; job 2: scalar stats over
+        # the local checkpoint (delta + next dangling mass in one agg).
+        newc = new_ranks.localCheckpoint(eager=True)
+        row = newc.agg(
+            F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"),
+            F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias("dm"),
+        ).collect()[0]
         state["dang"] = float(row.dm or 0.0)
-        return new_ranks, {"max_delta": float(row.d), "dangling_mass": state["dang"]}
+        return (
+            newc.select("id", "rank", "has_out"),
+            {"max_delta": float(row.d), "dangling_mass": state["dang"]},
+        )
 
     runner = SuperstepRunner(
         spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
         checkpoint_every=checkpoint_every,
     )
-    ranks, steps = runner.run(
-        init,
-        step_fn,
-        converged=lambda m: m["max_delta"] < tol,
-        max_iter=max_iter,
-        resume=resume,
-    )
+    # AQE off inside the loop: per-superstep re-planning costs driver
+    # time every step and the loop's partitioning is already explicit.
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ranks, steps = runner.run(
+            init,
+            step_fn,
+            converged=lambda m: m["max_delta"] < tol,
+            max_iter=max_iter,
+            resume=resume,
+            pre_truncated=True,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    if metrics_sink is not None:
+        metrics_sink.extend(runner.history)
     verts.unpersist()
     (blocks if mode == "csr" else norm).unpersist()
     return ranks.select("id", "rank"), steps

@@ -90,7 +90,7 @@ def balanced_partition(
     assignment = verts.select(
         "id", F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(k)).cast("int").alias("part")
     ).persist()
-    assignment.count()
+    n_verts = assignment.count()
 
     best_obj, cut, ssq = _objective(und, assignment, lam)
     history = [{"round": 0, "objective": best_obj, "cut": cut, "ssq": ssq, "moves": 0}]
@@ -149,7 +149,6 @@ def balanced_partition(
         )
 
         # 4. driver coordination: top-M positive-gain moves
-        n_verts = a.count()
         m = m_default or max(1, n_verts // 20)
         moves = (
             best_moves.orderBy(F.col("gain").desc(), F.col("src_id").asc())

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+import pytest
+
+from cim_framework_graph_partitioning_spark.operators.dag import (
+    chain_decomposition,
+    critical_path,
+    longest_path_lengths,
+    topological_levels,
+)
+from cim_framework_graph_partitioning_spark.operators.normalize import (
+    normalize_corpus,
+)
+
+from .test_graph_algorithms import _edges_df
+
+# diamond + tail DAG: 0→1→3→4, 0→2→3, 5 isolated-ish (5→4)
+DAG = [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0), (3, 4, 1.0), (5, 4, 1.0)]
+
+
+def test_topological_levels(spark):
+    levels = {r.id: r.level for r in topological_levels(spark, _edges_df(spark, DAG)).collect()}
+    assert levels == {0: 0, 5: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_topological_cycle_detection(spark):
+    cyc = _edges_df(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)])
+    with pytest.raises(ValueError, match="cycle"):
+        topological_levels(spark, cyc)
+
+
+def test_longest_path_and_critical_path(spark):
+    df = _edges_df(spark, DAG)
+    dist = {r.id: r.dist for r in longest_path_lengths(spark, df).collect()}
+    assert dist == {0: 0, 5: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+    # critical path: deterministic tie-break picks 0→1→3→4
+    assert critical_path(spark, df) == [0, 1, 3, 4]
+
+
+def test_chain_decomposition_covers_all_vertices(spark):
+    df = _edges_df(spark, DAG)
+    chains = chain_decomposition(spark, df)
+    assert chains[0] == [0, 1, 3, 4]
+    flat = [v for c in chains for v in c]
+    assert sorted(flat) == [0, 1, 2, 3, 4, 5]
+    assert len(flat) == len(set(flat))  # partition: no vertex twice
+
+
+def test_normalize_corpus(spark):
+    rows = [
+        ("r0", "a.py", "c2", "python", "# module: m0\nx"),
+        ("r0", "a.py", "c1", "python", "# module: m0\nx"),  # dup path, older commit wins
+        ("r0", "b.py", "c1", "python", "   "),               # dead: whitespace only
+        ("r0", "c.py", "c1", "python", "# module: m2\ny"),
+    ]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = normalize_corpus(files).collect()
+    got = {(r.path, r.commit) for r in out}
+    assert got == {("a.py", "c1"), ("c.py", "c1")}
