@@ -245,10 +245,10 @@ def _csr_contributions(ranks: DataFrame, blocks: DataFrame, p: int) -> DataFrame
         pos = np.searchsorted(rid[order], src_ids)
         r_src = rv[order][pos]
         per_edge = np.repeat(r_src, np.diff(indptr)) * frac
-        # scatter: block-local partial aggregation per dst
+        # scatter: block-local partial aggregation per dst (bincount is
+        # ~10x faster than np.add.at's non-vectorized path)
         udst, inv = np.unique(dst, return_inverse=True)
-        s = np.zeros(len(udst))
-        np.add.at(s, inv, per_edge)
+        s = np.bincount(inv, weights=per_edge, minlength=len(udst))
         return pd.DataFrame({"dst_id": udst, "s": s})
 
     ranks_b = ranks.withColumn("block", F.pmod(F.xxhash64("id"), F.lit(p)).cast("int"))

@@ -25,6 +25,12 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER", f"local[{cores}]")
     shuffle_partitions = shuffle_partitions or cores
     driver_memory = driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    # shuffle spill dir on tmpfs when available: local-mode shuffles are
+    # disk-bound on the overlay fs and serialize under many threads
+    # (measured local[32] slower than local[8] at 32M-edge shuffles).
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -39,6 +45,8 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
