@@ -38,12 +38,6 @@ from .sources.fk_graphs import PART_OFFSET, co_supplier_edges, supplier_part_edg
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_T = {
-    t: f"{{sf}}/{t}.parquet"
-    for t in ("lineitem", "orders", "customer", "supplier", "part", "nation",
-              "region", "events", "documents", "embeddings")
-}
-
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
