@@ -65,6 +65,8 @@ def topological_levels(
         remaining, remaining_edges = new_remaining, new_edges
         n_left -= n_front
         level += 1
+    if not out:  # empty edge table → no vertices, no levels
+        return spark.createDataFrame([], "id long, level int")
     result = out[0]
     for df in out[1:]:
         result = result.unionByName(df)

@@ -49,6 +49,14 @@ from pyspark.sql import functions as F
 from ..plans.superstep import SuperstepRunner
 
 
+def pagerank_salt_col(salt_buckets: int) -> F.Column:
+    """Salt bucket for the two-phase hub aggregation: a hash of the edge
+    key (src_id, dst_id), so a hub's in-edges spread uniformly across
+    buckets regardless of the contribution VALUES (which can be identical
+    across thousands of in-edges in early supersteps)."""
+    return F.pmod(F.xxhash64("src_id", "dst_id"), F.lit(salt_buckets)).alias("_salt")
+
+
 def _normalized_edges(edges: DataFrame) -> DataFrame:
     """edges(src_id, dst_id, weight) → (src_id, dst_id, frac) with
     frac = weight / out_weight(src)."""
@@ -122,14 +130,19 @@ def pagerank(
             # the rank table is never broadcastable at the target scale.
             r = ranks.hint("shuffle_hash")
             contribs = r.join(norm, r.id == norm.src_id).select(
-                "dst_id", (F.col("rank") * F.col("frac")).alias("contrib")
+                "src_id", "dst_id", (F.col("rank") * F.col("frac")).alias("contrib")
             )
             if salted:
                 # explicit two-phase aggregation: partial per (dst, salt)
                 # bounds a hub reducer to 1/salt_buckets of its inflow.
+                # The salt MUST key on the edge (src_id, dst_id), never on
+                # the value being summed: identical contributions into a
+                # hub (uniform early ranks x equal frac) would otherwise
+                # all hash to ONE bucket and the skew protection would
+                # evaporate exactly when needed.
                 partial = contribs.groupBy(
                     "dst_id",
-                    F.pmod(F.xxhash64("contrib"), F.lit(salt_buckets)).alias("_salt"),
+                    pagerank_salt_col(salt_buckets),
                 ).agg(F.sum("contrib").alias("partial"))
                 sums = partial.groupBy("dst_id").agg(F.sum("partial").alias("s"))
             else:

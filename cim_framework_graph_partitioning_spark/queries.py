@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.text import lang_id, punct_ratio, quality_score, token_count
-from .functions.vectors import cosine
 from .operators.components import connected_components
 from .operators.dedup import (
     exact_duplicates,
@@ -522,6 +521,41 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document (length band + punctuation +
+    stopword ratios — the training-data quality-scoring capability)."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    ).orderBy("doc_id")
+
+
+_ORACLE_DOC_QUALITY = r"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) * 1.0 AS n,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[^\w\s]')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN trim(text) = '' THEN 0.0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) * 1.0 END AS toks,
+         len(regexp_extract_all(text,
+             '(?i)\b(the|and|of|to|a|in|is|it|that|for)\b')) * 1.0 AS hits
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         least(n / 500.0, 1.0) AS len_score,
+         greatest(0.0, 1.0 - punct_ratio * 4.0) AS punct_score,
+         least(CASE WHEN toks > 0 THEN hits / toks ELSE 0.0 END * 5.0, 1.0)
+           AS stop_score
+  FROM s)
+SELECT doc_id,
+       round(len_score * 0.4 + punct_score * 0.4 + stop_score * 0.2, 6)
+         AS quality
+FROM r ORDER BY doc_id
+"""
+
+
 def q_exact_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return exact_duplicates(d).orderBy("doc_id")
@@ -717,6 +751,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # documents / embeddings
     "doc_token_stats": (q_doc_token_stats, _ORACLE_TOKEN_STATS),
     "doc_punct_ratio": (q_doc_punct_ratio, _ORACLE_PUNCT),
+    "doc_quality": (q_doc_quality, _ORACLE_DOC_QUALITY),
     "exact_dedup_pairs": (q_exact_dedup_pairs, _ORACLE_EXACT_DEDUP),
     "token_jaccard_pairs": (q_token_jaccard_pairs, _ORACLE_TOKEN_JACCARD),
     "embedding_topk": (q_embedding_topk, _ORACLE_EMB_TOPK),

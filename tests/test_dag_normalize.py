@@ -23,6 +23,13 @@ def test_topological_levels(spark):
     assert levels == {0: 0, 5: 0, 1: 1, 2: 1, 3: 2, 4: 3}
 
 
+def test_topological_levels_empty_edges(spark):
+    empty = _edges_df(spark, [])
+    out = topological_levels(spark, empty)
+    assert out.columns == ["id", "level"]
+    assert out.count() == 0
+
+
 def test_topological_cycle_detection(spark):
     cyc = _edges_df(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)])
     with pytest.raises(ValueError, match="cycle"):

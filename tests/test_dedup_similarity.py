@@ -156,3 +156,26 @@ def test_text_stats_on_documents_table(spark):
     assert all(r.n_tokens > 0 for r in rows)
     assert all(0.0 <= r.quality <= 1.0 for r in rows)
     assert {r.pred_lang for r in rows} <= {"en", "code", "unknown"}
+
+
+def test_doc_fingerprint_matches_scalar_oracle(spark):
+    from cim_framework_graph_partitioning_spark.functions.text import doc_fingerprint
+
+    texts = ["hello world", "", "hello world", "héllo wörld", "x" * 3000]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.fp
+        for r in df.select("doc_id", doc_fingerprint("text").alias("fp")).collect()
+    }
+
+    def oracle(s: str) -> int:  # same recurrence, scalar reference
+        h = 0
+        for b in s.encode("utf-8", "ignore"):
+            h = (h * 1000003 + b) % (1 << 64)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    for i, t in enumerate(texts):
+        assert got[i] == oracle(t), (i, t[:20])
+    assert got[0] == got[2] and got[0] != got[3]

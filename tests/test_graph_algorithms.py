@@ -68,6 +68,32 @@ def test_pagerank_salted_matches_plain(spark):
         assert math.isclose(g1[k], g2[k], abs_tol=1e-9)
 
 
+def test_pagerank_salt_buckets_balanced_on_planted_hub(spark):
+    """The salt must spread a hub's in-edges across buckets even when
+    every in-edge carries an IDENTICAL contribution (uniform early ranks
+    x equal frac) — a value-keyed salt would put them all in one bucket
+    and the skew protection would silently evaporate."""
+    from pyspark.sql import functions as F
+
+    from cim_framework_graph_partitioning_spark.operators.pagerank import (
+        pagerank_salt_col,
+    )
+
+    n_src, buckets = 1024, 16
+    # planted hub: every source has out-degree 1 into vertex 0 with the
+    # same weight → frac = 1.0 and identical contribs on every in-edge.
+    hub_edges = _edges_df(spark, [(i, 0, 1.0) for i in range(1, n_src + 1)])
+    counts = {
+        r._salt: r.n
+        for r in hub_edges.groupBy(pagerank_salt_col(buckets))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(counts) == buckets, "hub in-edges collapsed into few salt buckets"
+    expected = n_src / buckets
+    assert max(counts.values()) < 2 * expected, counts
+
+
 def test_pagerank_dangling_vertices(spark):
     # vertex 2 is dangling (no out-edges)
     triples = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)]

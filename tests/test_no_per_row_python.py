@@ -16,6 +16,14 @@ BANNED = [
     re.compile(r"@udf\b"),
     re.compile(r"\.rdd\b"),
     re.compile(r"\bsc\.parallelize\("),
+    # per-row Python callables hidden inside pandas-UDF bodies: pandas
+    # Series.map/DataFrame.apply with a Python function, or explicit
+    # row iteration — these evade the Spark-level bans above while still
+    # executing Python once per row.
+    re.compile(r"\.map\("),
+    re.compile(r"\.apply\((?!InPandas)"),
+    re.compile(r"\.iterrows\("),
+    re.compile(r"\.itertuples\("),
 ]
 
 
