@@ -8,12 +8,19 @@ repeatedly adopts the minimum label among itself and its neighbors, with
 the driver checking the number of changed labels per superstep (the
 reference's driver-side convergence role, calc_cost.py:419-420).
 
-Scale note: plain min-label propagation needs O(diameter) supersteps —
-fine for power-law link graphs (diameter ~ log N). Each superstep is one
-join + one groupBy-min over the symmetrized edge table, which is cached
-and hash-partitioned once; large-star/small-star (Kiveris et al.,
-"Connected Components in MapReduce and Beyond") is the documented
-upgrade path for high-diameter graphs.
+Two algorithms, identical results (component = min vertex id):
+
+* ``algorithm="star"`` (default) — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  2014): the STATE is the edge set itself, contracted each round toward
+  star graphs whose centers are the component minima. Converges in
+  O(log² n) rounds independent of graph diameter, and the edge set
+  SHRINKS as it contracts — each round cheaper than the last. The
+  100-TB path.
+* ``algorithm="minlabel"`` — plain min-label propagation: O(diameter)
+  supersteps of join + groupBy-min over the cached symmetrized edge
+  table. Simpler plan; fine for low-diameter power-law graphs; kept as
+  the cross-check implementation (tests assert star ≡ minlabel).
 """
 
 from __future__ import annotations
@@ -32,9 +39,15 @@ def connected_components(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     run_id: str = "cc",
+    algorithm: str = "star",
 ) -> tuple[DataFrame, int]:
     """Returns (labels(id, component), supersteps). component = min vertex
     id in the component (deterministic canonical representative)."""
+    if algorithm == "star":
+        return _cc_two_phase(
+            spark, edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir,
+            resume=resume, run_id=run_id,
+        )
     p = spark.sparkContext.defaultParallelism
     und = symmetrize(edges).select("src_id", "dst_id").repartition(p, "src_id").persist()
     verts = (
@@ -79,3 +92,95 @@ def connected_components(
     und.unpersist()
     verts.unpersist()
     return labels, steps
+
+
+def _cc_two_phase(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    run_id: str = "cc",
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star CC (Kiveris et al. 2014).
+
+    State = canonical edge set (a > b). One superstep = large-star then
+    small-star:
+
+    * large-star(u): every neighbor v > u gets connected to
+      m = min(Γ(u) ∪ {u})  → emitted as (v, m);
+    * small-star(u): u and all smaller neighbors N get connected to
+      m = min(N ∪ {u})     → emitted as (x, m), x ∈ N ∪ {u}, x ≠ m.
+
+    Both preserve connectivity; the fixpoint is a set of stars whose
+    centers are the component minima, reached in O(log² n) supersteps
+    regardless of diameter. Convergence is detected by an edge-set
+    signature (count + two independent hash sums) — one scalar action
+    per superstep, the driver never holds edges.
+    """
+    p = spark.sparkContext.defaultParallelism
+    verts = (
+        edges.select(F.col("src_id").alias("id"))
+        .unionByName(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+        .repartition(p, "id")
+        .persist()
+    )
+    init = (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.greatest("src_id", "dst_id").alias("a"),
+            F.least("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+    )
+    prev_sig: dict[str, tuple | None] = {"sig": None}
+
+    def step_fn(E: DataFrame, step: int):
+        # large-star: group the symmetrized view by u, connect big
+        # neighbors to the local min. Output stays canonical (v > m).
+        sym = E.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            E.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            sym.join(mins.hint("shuffle_hash"), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("a"),
+                F.least(F.col("u"), F.col("mn")).alias("b"),
+            )
+            .distinct()
+        )
+        # small-star: per node a, connect a and all smaller neighbors
+        # to the min smaller neighbor.
+        mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
+        joined = ls.join(mins2.hint("shuffle_hash"), "a")
+        part1 = joined.filter(F.col("b") != F.col("m")).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+        part2 = mins2.select(F.col("a"), F.col("m").alias("b"))
+        new_e = part1.unionByName(part2).distinct().persist()
+        # one action: signature (count + 2 independent 32-bit hash sums)
+        row = new_e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1 << 32))).alias("h1"),
+            F.sum(F.pmod(F.xxhash64("b", "a", F.lit(7)), F.lit(1 << 32))).alias("h2"),
+        ).collect()[0]
+        sig = (row.n, row.h1, row.h2)
+        changed = 0.0 if sig == prev_sig["sig"] else 1.0
+        prev_sig["sig"] = sig
+        return new_e, {"changed": changed, "edges": float(row.n)}
+
+    runner = SuperstepRunner(spark, checkpoint_dir=checkpoint_dir, run_id=run_id)
+    stars, steps = runner.run(
+        init, step_fn, converged=lambda m: m["changed"] == 0, max_iter=max_iter,
+        resume=resume,
+    )
+    labels = (
+        verts.join(stars.hint("shuffle_hash"), verts.id == stars.a, "left")
+        .select("id", F.coalesce(F.col("b"), F.col("id")).alias("component"))
+    )
+    out = labels.localCheckpoint(eager=True)
+    verts.unpersist()
+    return out, steps

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.barrier import PlanBarrier
+
 
 def topological_levels(
     spark: SparkSession, edges: DataFrame, max_iter: int = 10_000
@@ -48,6 +50,8 @@ def topological_levels(
     out = []
     level = 0
     n_left = remaining.count()
+    b_verts = PlanBarrier(spark, tag="topo_verts")
+    b_edges = PlanBarrier(spark, tag="topo_edges")
     while n_left > 0 and level < max_iter:
         has_in = remaining_edges.select(F.col("dst_id").alias("id")).distinct()
         frontier = remaining.join(has_in, "id", "left_anti").persist()
@@ -55,10 +59,12 @@ def topological_levels(
         if n_front == 0:
             raise ValueError(f"cycle detected: {n_left} vertices unpeelable")
         out.append(frontier.select("id", F.lit(level).alias("level")))
-        new_remaining = remaining.join(frontier, "id", "left_anti").localCheckpoint(eager=True)
-        new_edges = remaining_edges.join(
-            frontier.select(F.col("id").alias("src_id")), "src_id", "left_anti"
-        ).localCheckpoint(eager=True)
+        new_remaining = b_verts.cut(remaining.join(frontier, "id", "left_anti"))
+        new_edges = b_edges.cut(
+            remaining_edges.join(
+                frontier.select(F.col("id").alias("src_id")), "src_id", "left_anti"
+            )
+        )
         remaining.unpersist()
         remaining_edges.unpersist()
         frontier.unpersist()
@@ -85,6 +91,7 @@ def longest_path_lengths(
         .unionByName(edges.select(F.col("dst_id").alias("id")))
         .distinct()
     )
+    barrier = PlanBarrier(spark, tag="longest_path")
     dist = verts.select("id", F.lit(0).alias("dist")).localCheckpoint(eager=True)
     e = edges.select("src_id", "dst_id").distinct().persist()
     for _ in range(max_iter):
@@ -106,7 +113,7 @@ def longest_path_lengths(
             .filter(F.col("dist") != F.col("prev"))
             .count()
         )
-        trunc = new_dist.localCheckpoint(eager=True)
+        trunc = barrier.cut(new_dist)
         new_dist.unpersist()
         dist = trunc
         if changed == 0:
@@ -160,6 +167,7 @@ def chain_decomposition(spark: SparkSession, edges: DataFrame,
         .count()
     )
     chains: list[list[int]] = []
+    barrier = PlanBarrier(spark, tag="chains")
     seen = 0
     while seen < vert_count and len(chains) < max_chains:
         if remaining.take(1):
@@ -178,11 +186,10 @@ def chain_decomposition(spark: SparkSession, edges: DataFrame,
         chains.append(chain)
         seen += len(chain)
         chain_df = spark.createDataFrame([(int(v),) for v in chain], "id long")
-        new_remaining = (
+        new_remaining = barrier.cut(
             remaining.join(F.broadcast(chain_df.withColumnRenamed("id", "src_id")), "src_id", "left_anti")
             .join(F.broadcast(chain_df.withColumnRenamed("id", "dst_id")), "dst_id", "left_anti")
             .select("src_id", "dst_id")
-            .localCheckpoint(eager=True)
         )
         remaining.unpersist()
         remaining = new_remaining.persist()

@@ -67,16 +67,28 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity via shingle inverted index:
     pairs sharing ≥1 shingle get sim = |A∩B| / |A∪B|. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, filtered to ≥ threshold.
 
-    Scale: the self-join is on the shingle key — stop-shingle hubs are
-    the skew risk; callers should pre-filter ultra-frequent shingles
-    (df cap) the way MinHash-LSH replaces this exact pipeline entirely.
+    ``max_doc_freq``: document-frequency cap on shingles. Shingles that
+    appear in more than this many documents are dropped BEFORE the
+    self-join — from both the intersection and the union (Jaccard is
+    computed over the capped shingle space; a shared ultra-common
+    shingle carries no dedup signal). This is what makes the inverted
+    index scale: without it a stop-shingle hub turns the self-join
+    near-cartesian (one groupBy(shingle) pass bounds every join key's
+    fan-out at max_doc_freq², independent of corpus size).
     """
     sh = shingles(docs, n, id_col, text_col)
+    if max_doc_freq is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = (
+            sh.join(dfreq.filter(F.col("_df") <= max_doc_freq), "shingle")
+            .select("doc_id", "shingle")
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -244,9 +256,29 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
 def embedding_near_duplicates(
     embeddings: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    method: str = "lsh",
+    n_planes: int = 10, n_tables: int = 8, seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold. Brute all-pairs (correct baseline;
-    O(n²) — the LSH-bucketed scale path lives in similarity.py)."""
+    """Pairs with cosine ≥ threshold.
+
+    ``method="lsh"`` (default) — multi-table hyperplane LSH bucketing
+    (similarity.lsh_near_duplicates): every join is an equi-join on
+    (table, bucket); this is the path that scales. Deterministic given
+    the seed, so exactly reproducible (and SQL-oracle-checkable).
+
+    ``method="exact"`` — brute all-pairs (O(n²) non-equi join). TEST
+    ORACLE ONLY: it verifies LSH recall on planted near-dups in the
+    test suite; never register or bench this path.
+    """
+    if method == "lsh":
+        from .similarity import lsh_near_duplicates
+
+        return lsh_near_duplicates(
+            embeddings, threshold=threshold, n_planes=n_planes,
+            n_tables=n_tables, seed=seed, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
     from ..functions.vectors import cosine
 
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

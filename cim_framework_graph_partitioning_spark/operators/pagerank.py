@@ -76,6 +76,7 @@ def pagerank(
     salted: bool = False,
     salt_buckets: int = 16,
     num_blocks: int | None = None,
+    csr_slice_edges: int = 8_000_000,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 4,
     resume: bool = False,
@@ -104,7 +105,7 @@ def pagerank(
 
     norm = _normalized_edges(edges)
     if mode == "csr":
-        blocks = _pack_csr_blocks(norm, p).persist()
+        blocks = _pack_csr_blocks(norm, p, max_edges_per_slice=csr_slice_edges).persist()
         blocks.count()
     else:
         norm = norm.repartition(p, "src_id").persist()
@@ -207,32 +208,44 @@ def pagerank(
 # --- CSR fast path -------------------------------------------------------
 
 _CSR_SCHEMA = (
-    "block int, src_ids array<long>, indptr array<int>, "
+    "block int, src_ids array<long>, indptr array<long>, "
     "dst_ids array<long>, frac array<double>"
 )
 
 
-def _pack_csr_blocks(norm: DataFrame, p: int) -> DataFrame:
-    """Pack normalized edges into one CSR row per hash block of src_id.
+def _pack_csr_blocks(
+    norm: DataFrame, p: int, max_edges_per_slice: int = 8_000_000
+) -> DataFrame:
+    """Pack normalized edges into CSR rows per hash block of src_id.
 
     One-time cost; per superstep the kernel gathers ranks by src position
     and scatters weighted contributions per dst (all numpy, Arrow in/out).
-    """
+
+    A block larger than ``max_edges_per_slice`` is emitted as MULTIPLE
+    slice rows (a slice may even start mid-src — per-slice partial sums
+    add up correctly downstream). This bounds any single Arrow record to
+    ~slice_size * 20 bytes, far below Arrow's 2 GB record limit, no
+    matter how skewed the block."""
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["src_id", "dst_id"], kind="mergesort")
-        src = pdf["src_id"].to_numpy()
-        uniq, starts = np.unique(src, return_index=True)
-        indptr = np.append(starts, len(src)).astype("int32")
-        return pd.DataFrame(
-            {
-                "block": [int(pdf["block"].iloc[0])],
-                "src_ids": [uniq],
-                "indptr": [indptr],
-                "dst_ids": [pdf["dst_id"].to_numpy()],
-                "frac": [pdf["frac"].to_numpy()],
-            }
-        )
+        block = int(pdf["block"].iloc[0])
+        out = []
+        for lo in range(0, len(pdf), max_edges_per_slice):
+            chunk = pdf.iloc[lo : lo + max_edges_per_slice]
+            src = chunk["src_id"].to_numpy()
+            uniq, starts = np.unique(src, return_index=True)
+            indptr = np.append(starts, len(src)).astype("int64")
+            out.append(
+                {
+                    "block": block,
+                    "src_ids": uniq,
+                    "indptr": indptr,
+                    "dst_ids": chunk["dst_id"].to_numpy(),
+                    "frac": chunk["frac"].to_numpy(),
+                }
+            )
+        return pd.DataFrame(out)
 
     withb = norm.withColumn("block", F.pmod(F.xxhash64("src_id"), F.lit(p)).cast("int"))
     return withb.groupBy("block").applyInPandas(pack, _CSR_SCHEMA)
@@ -246,22 +259,31 @@ def _csr_contributions(ranks: DataFrame, blocks: DataFrame, p: int) -> DataFrame
             return pd.DataFrame(
                 {"dst_id": pd.Series(dtype="int64"), "s": pd.Series(dtype="float64")}
             )
-        row = block_pdf.iloc[0]
-        src_ids = np.asarray(row["src_ids"], dtype="int64")
-        indptr = np.asarray(row["indptr"], dtype="int64")
-        dst = np.asarray(row["dst_ids"], dtype="int64")
-        frac = np.asarray(row["frac"], dtype="float64")
-        # gather: rank per packed src (same hash block by construction)
+        # gather index: ranks of this hash block, sorted once per call
         rid = rank_pdf["id"].to_numpy()
         rv = rank_pdf["rank"].to_numpy()
         order = np.argsort(rid, kind="mergesort")
-        pos = np.searchsorted(rid[order], src_ids)
-        r_src = rv[order][pos]
-        per_edge = np.repeat(r_src, np.diff(indptr)) * frac
+        rid_s, rv_s = rid[order], rv[order]
+        dsts, vals = [], []
+        # a block may arrive as several bounded slices (Arrow 2GB guard);
+        # per-slice partial sums add up, so slices are independent.
+        for i in range(len(block_pdf)):
+            row = block_pdf.iloc[i]
+            src_ids = np.asarray(row["src_ids"], dtype="int64")
+            indptr = np.asarray(row["indptr"], dtype="int64")
+            dst = np.asarray(row["dst_ids"], dtype="int64")
+            frac = np.asarray(row["frac"], dtype="float64")
+            pos = np.searchsorted(rid_s, src_ids)
+            r_src = rv_s[pos]
+            per_edge = np.repeat(r_src, np.diff(indptr)) * frac
+            dsts.append(dst)
+            vals.append(per_edge)
+        dst_all = np.concatenate(dsts)
+        val_all = np.concatenate(vals)
         # scatter: block-local partial aggregation per dst (bincount is
         # ~10x faster than np.add.at's non-vectorized path)
-        udst, inv = np.unique(dst, return_inverse=True)
-        s = np.bincount(inv, weights=per_edge, minlength=len(udst))
+        udst, inv = np.unique(dst_all, return_inverse=True)
+        s = np.bincount(inv, weights=val_all, minlength=len(udst))
         return pd.DataFrame({"dst_id": udst, "s": s})
 
     ranks_b = ranks.withColumn("block", F.pmod(F.xxhash64("id"), F.lit(p)).cast("int"))

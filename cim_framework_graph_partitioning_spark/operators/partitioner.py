@@ -20,21 +20,31 @@ Execution shape per round (one superstep):
    aggregation — partial sums per (vertex, part, salt) bound any hub
    vertex's reducer load (north-rule skew handling), final per
    (vertex, part);
-3. gain per candidate move via a broadcast join against the k-row part
-   load table; per-vertex argmax with deterministic tie-break;
-4. driver collects the top-M positive-gain moves (global coordination,
-   like the reference's driver picking the slowest node) and greedily
-   keeps a PAIRWISE NON-ADJACENT subset (one distributed pass collects
-   adjacency among the M moved vertices — M is driver-sized). For a
-   non-adjacent batch the objective delta is EXACT and driver-computable:
+3. the intra-part weight w_int is FUSED into the same pass (a window
+   over the src_id partitioning the join already produced — no second
+   join, no extra shuffle); gain per candidate move via a broadcast
+   join against the k-row part load table; per-vertex argmax with
+   deterministic tie-break;
+4. top-M positive-gain candidates (M is a CONSTANT cap, independent of
+   graph size) are reduced to a PAIRWISE NON-ADJACENT subset entirely
+   distributively by priority coloring: for every edge between two
+   candidate movers the lower-priority endpoint (gain asc, id desc) is
+   marked a loser in one pass over the edge table; survivors beat ALL
+   their moved neighbors, so the batch is an independent set. Only the
+   surviving ≤ M rows ever reach the driver — nothing collected grows
+   with vertex count (the reference's driver likewise holds only the
+   current move, calc_cost.py:407-417).
+   For a non-adjacent batch the objective delta is EXACT and
+   driver-computable:
      cut'  = cut − Σ (w_to − w_int)          (neighbors unmoved)
      ssq'  = from the k part loads + per-part move counts
    so no full-table re-cost is needed per round; an exact distributed
    recompute runs at termination (and under test) to confirm drift-free.
 
-Cost per round: 2 distributed actions (candidate collect, adjacency
-collect) + 1 lineage truncation — each a single pass over the salted
-edge partitions, the property that holds at 100 TB.
+Cost per round: two passes over the salted edge partitions (candidate
+scoring, loser marking) + 1 assignment-lineage truncation; driver
+traffic is O(moves_per_round) = O(1) in graph size — the property that
+holds at 100 TB.
 """
 
 from __future__ import annotations
@@ -42,6 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.barrier import PlanBarrier
 from .edges import symmetrize
 
 
@@ -68,7 +79,7 @@ def balanced_partition(
     k: int = 8,
     lam: float = 0.05,
     max_rounds: int = 30,
-    moves_per_round: int | None = None,
+    moves_per_round: int = 8192,
     salt_buckets: int = 8,
     seed: int = 42,
 ) -> tuple[DataFrame, list[dict]]:
@@ -79,6 +90,10 @@ def balanced_partition(
     the engine's analogue of the reference's per-iteration cost log
     (calc_cost.py:421-431). Accepted objectives are monotone
     non-increasing (tested property; deltas are exact by construction).
+
+    ``moves_per_round`` is a CONSTANT cap (never derived from graph
+    size): it bounds driver traffic per round, so the loop's driver
+    footprint is O(1) in vertex count.
     """
     p = spark.sparkContext.defaultParallelism
     und = symmetrize(edges).repartition(p, "src_id").persist()
@@ -89,10 +104,13 @@ def balanced_partition(
         .persist()
     )
 
-    best = verts.select(
-        "id", F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(k)).cast("int").alias("part")
-    ).localCheckpoint(eager=True)
-    n_verts = best.count()
+    barrier = PlanBarrier(spark, tag="partitioner")
+    best = barrier.cut(
+        verts.select(
+            "id",
+            F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(k)).cast("int").alias("part"),
+        )
+    )
 
     best_obj, cut, ssq = exact_objective(und, best, lam)
     loads_map = {
@@ -101,7 +119,6 @@ def balanced_partition(
     for part in range(k):
         loads_map.setdefault(part, 0)
     history = [{"round": 0, "objective": best_obj, "cut": cut, "ssq": ssq, "moves": 0}]
-    m_default = moves_per_round
 
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -120,17 +137,22 @@ def balanced_partition(
             ).agg(F.sum("weight").alias("w_part"))
             w_to = partial.groupBy("src_id", "p_dst").agg(F.sum("w_part").alias("w"))
 
+            # w_int fused into the same pass: the p_cur join repartitions
+            # by src_id, so the window adds a sort but NO extra shuffle
+            # (previously a filtered self-join = one more exchange).
             cur = a.select(F.col("id").alias("src_id"), F.col("part").alias("p_cur"))
             w_to = w_to.join(cur.hint("shuffle_hash"), "src_id")
-            w_int = (
-                w_to.filter(F.col("p_dst") == F.col("p_cur"))
-                .select("src_id", F.col("w").alias("w_int"))
+            w_vert = Window.partitionBy("src_id")
+            w_to = w_to.withColumn(
+                "w_int",
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("p_dst") == F.col("p_cur"), F.col("w"))
+                    ).over(w_vert),
+                    F.lit(0.0),
+                ),
             )
-            cand = (
-                w_to.filter(F.col("p_dst") != F.col("p_cur"))
-                .join(w_int.hint("shuffle_hash"), "src_id", "left")
-                .fillna({"w_int": 0.0})
-            )
+            cand = w_to.filter(F.col("p_dst") != F.col("p_cur"))
 
             loads_df = spark.createDataFrame(
                 [(int(part), int(load)) for part, load in loads_map.items()],
@@ -160,38 +182,46 @@ def balanced_partition(
                 F.col("_rn") == 1
             )
 
-            # 4a. driver coordination: top-M positive-gain candidates
-            m = m_default or max(1, n_verts // 20)
-            moves = (
+            # 4a. top-M candidates, M constant (driver-footprint bound)
+            moves_df = (
                 best_moves.orderBy(F.col("gain").desc(), F.col("src_id").asc())
-                .limit(m)
+                .limit(moves_per_round)
                 .select("src_id", "p_cur", "p_dst", "w", "w_int", "gain")
-                .collect()
+                .localCheckpoint(eager=True)
             )
-            if not moves:
-                break
 
-            # 4b. restrict to a pairwise non-adjacent subset so every
-            # kept move's (w, w_int) stays valid → exact batch delta.
-            mv_ids = spark.createDataFrame(
-                [(r.src_id,) for r in moves], "id long"
+            # 4b. distributed non-adjacent selection (priority coloring):
+            # for every edge between two candidate movers, the lower
+            # priority endpoint (gain asc, id desc) loses; survivors beat
+            # ALL moved neighbors → pairwise non-adjacent, so every kept
+            # move's (w, w_int) stays valid → exact batch delta. One pass
+            # over the edge table; only ≤ M survivors reach the driver.
+            mv_a = moves_df.select(F.col("src_id").alias("a"), F.col("gain").alias("gain_a"))
+            mv_b = moves_df.select(F.col("src_id").alias("b"), F.col("gain").alias("gain_b"))
+            pairs = (
+                und.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b"))
+                .filter(F.col("a") < F.col("b"))  # symmetrized: see each pair once
+                .join(F.broadcast(mv_a), "a")
+                .join(F.broadcast(mv_b), "b")
             )
-            adj_pairs = (
-                und.join(F.broadcast(mv_ids.withColumnRenamed("id", "src_id")), "src_id", "left_semi")
-                .join(F.broadcast(mv_ids.withColumnRenamed("id", "dst_id")), "dst_id", "left_semi")
-                .select("src_id", "dst_id")
+            losers = pairs.select(
+                F.when(
+                    (F.col("gain_a") > F.col("gain_b"))
+                    | ((F.col("gain_a") == F.col("gain_b")) & (F.col("a") < F.col("b"))),
+                    F.col("b"),
+                )
+                .otherwise(F.col("a"))
+                .alias("src_id")
+            ).distinct()
+            kept = (
+                moves_df.join(losers, "src_id", "left_anti")
+                .orderBy(F.col("gain").desc(), F.col("src_id").asc())
                 .collect()
             )
-            adj: dict[int, set[int]] = {}
-            for r in adj_pairs:
-                adj.setdefault(r.src_id, set()).add(r.dst_id)
-                adj.setdefault(r.dst_id, set()).add(r.src_id)
-            kept, kept_ids = [], set()
-            for r in moves:  # already in (gain desc, id) order
-                if adj.get(r.src_id, set()) & kept_ids:
-                    continue
-                kept.append(r)
-                kept_ids.add(r.src_id)
+            # the globally highest-priority move never loses the coloring,
+            # so kept is empty iff no positive-gain candidate exists.
+            if not kept:
+                break
 
             # 4c. exact sequential evaluation (the reference's one-move-
             # at-a-time hill climb, calc_cost.py:407-417, batched): each
@@ -221,13 +251,12 @@ def balanced_partition(
             mv_df = spark.createDataFrame(
                 [(r.src_id, int(r.p_dst)) for r in kept], "id long, new_part int"
             )
-            best = (
+            best = barrier.cut(
                 best.join(F.broadcast(mv_df), "id", "left")
                 .select(
                     "id",
                     F.coalesce(F.col("new_part"), F.col("part")).alias("part"),
                 )
-                .localCheckpoint(eager=True)
             )
             best_obj, cut, ssq, loads_map = new_obj, new_cut, new_ssq, new_loads
             history.append(

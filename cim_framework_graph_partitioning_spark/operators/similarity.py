@@ -99,6 +99,67 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (cosine ≥ threshold) via multi-table
+    random-hyperplane LSH — the bucketed scale path that replaces the
+    all-pairs cross join.
+
+    ``n_tables`` independent tables of ``n_planes`` sign bits each:
+    a pair is a candidate iff it collides in ANY table (recall
+    1-(1-p^b)^L with p = 1-θ/π), then candidates are verified by exact
+    cosine. Every join is an equi-join on (table, bucket) — no
+    BroadcastNestedLoopJoin anywhere in the plan. Deterministic given
+    (seed, n_planes, n_tables): the SQL oracle replicates the identical
+    plane constants, so results are exactly reproducible.
+
+    Returns (id_a, id_b, cos) with id_a < id_b.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    v = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("ev")
+    )
+    per_table = [
+        v.select(
+            "vid",
+            F.lit(t).alias("t"),
+            lsh_bucket(F.col("ev"), planes[t * n_planes : (t + 1) * n_planes]).alias(
+                "bucket"
+            ),
+        )
+        for t in range(n_tables)
+    ]
+    buckets = per_table[0]
+    for b in per_table[1:]:
+        buckets = buckets.unionByName(b)
+    a = buckets.select(F.col("vid").alias("id_a"), "t", "bucket")
+    b = buckets.select(F.col("vid").alias("id_b"), "t", "bucket")
+    cands = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = v.select(F.col("vid").alias("id_a"), F.col("ev").alias("va"))
+    vb = v.select(F.col("vid").alias("id_b"), F.col("ev").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def numpy_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -12,7 +12,17 @@ Checkpoint layout (parquet; Iceberg layout when the connector is on the
 classpath — same DataFrame surface):
 
   {dir}/state/superstep=N/        next state snapshot
-  {dir}/lineage/                  (run_id, superstep, partition_id, rows)
+  {dir}/lineage/                  (run_id, superstep, partition_id,
+                                   metric, value) — long format, one row
+                                  per partition per recorded quantity:
+                                  "rows", "bytes" (real size of the
+                                  parquet part file that partition
+                                  wrote), and "sum_<col>"/"max_<col>"
+                                  for every numeric state column (the
+                                  partition's contribution to the global
+                                  metrics — the engine's analogue of the
+                                  reference's per-core instruction
+                                  streams, partition_result_gen.py:15-380)
   {dir}/metrics/                  (run_id, superstep, name, value)
 
 Checkpointing doubles as iterative-lineage truncation (SURVEY §4.3):
@@ -29,6 +39,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .barrier import PlanBarrier
 
 
 class SuperstepRunner:
@@ -69,18 +81,60 @@ class SuperstepRunner:
         if self.dir:
             path = self._state_path(step)
             state.write.mode("overwrite").parquet(path)
-            snap = self.spark.read.parquet(path)
-            lineage = snap.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-                F.count("*").alias("rows")
-            ).select(
-                F.lit(self.run_id).alias("run_id"),
-                F.lit(step).alias("superstep"),
-                "partition_id",
-                "rows",
-            )
-            lineage.write.mode("append").parquet(f"{self.dir}/lineage")
-            return snap
+            self._write_lineage(state, step, path)
+            return self.spark.read.parquet(path)
         return state.localCheckpoint(eager=True)
+
+    def _write_lineage(self, state: DataFrame, step: int, path: str) -> None:
+        """Per-partition lineage with content: row count, each numeric
+        column's sum/max contribution, and the REAL bytes each partition
+        wrote (its parquet part file size — part-NNNNN carries the write
+        task index, which is the partition id of ``state``).
+
+        Long format (partition_id, metric, value) so every algorithm's
+        state schema lands in one stable lineage table."""
+        from pyspark.sql.types import NumericType
+
+        num_cols = [
+            f.name for f in state.schema.fields
+            if isinstance(f.dataType, NumericType)
+        ]
+        aggs = [F.count("*").cast("double").alias("rows")]
+        for c in num_cols:
+            # sum in DOUBLE: ids are xxhash64-sized longs and a long sum
+            # overflows immediately under ANSI mode.
+            aggs.append(F.sum(F.col(c).cast("double")).alias(f"sum_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"max_{c}"))
+        wide = state.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
+        kv = []
+        for name in ["rows"] + [p + c for c in num_cols for p in ("sum_", "max_")]:
+            kv.append(F.lit(name))
+            kv.append(F.col(name))
+        melted = wide.select(
+            "partition_id", F.explode(F.create_map(*kv)).alias("metric", "value")
+        )
+        sizes = []
+        for fn in os.listdir(path):
+            if fn.startswith("part-") and fn.endswith(".parquet"):
+                sizes.append(
+                    (int(fn.split("-")[1]),
+                     float(os.path.getsize(os.path.join(path, fn))))
+                )
+        rows_df = melted
+        if sizes:
+            bytes_df = self.spark.createDataFrame(
+                [(pid, "bytes", b) for pid, b in sizes],
+                "partition_id int, metric string, value double",
+            )
+            rows_df = melted.unionByName(bytes_df)
+        lineage = rows_df.select(
+            F.lit(self.run_id).alias("run_id"),
+            F.lit(step).alias("superstep"),
+            "partition_id",
+            "metric",
+            "value",
+        )
+        lineage.write.mode("append").parquet(f"{self.dir}/lineage")
 
     def _log_metrics(self, step: int, metrics: dict[str, float]) -> None:
         self.history.append({"superstep": step, **metrics})
@@ -113,6 +167,11 @@ class SuperstepRunner:
         ``checkpoint_every`` supersteps and at convergence; in between,
         ``localCheckpoint`` truncates the growing iterative plan.
         """
+        barrier = PlanBarrier(
+            self.spark,
+            hard_every=min(8, self.checkpoint_every) if self.dir else 8,
+            tag=self.run_id,
+        )
         start = 0
         state = init_state
         if resume:
@@ -136,14 +195,24 @@ class SuperstepRunner:
             # otherwise nests every prior superstep and Catalyst
             # planning/cache-lookup cost grows superlinearly (measured
             # 10s/step at cadence 8 vs 1.5s/step truncating each step).
-            # The durable parquet checkpoint keeps its own cadence.
+            # Additionally, a HARD barrier (parquet round-trip) must run
+            # every few supersteps: localCheckpoint does not truncate
+            # the physical RDD ancestry in this Spark build, and past
+            # ~20 chained soft checkpoints the per-step cost explodes
+            # (see plans/barrier.py). The durable checkpoint IS a hard
+            # barrier; without a checkpoint_dir the barrier uses a
+            # session-scoped scratch dir.
             if self.dir and (done or step % self.checkpoint_every == 0):
                 snap = self._checkpoint(new_state, step)
                 if new_state.is_cached:
                     new_state.unpersist()
                 new_state = snap
-            elif not pre_truncated:
-                trunc = new_state.localCheckpoint(eager=True)
+                barrier.mark_hard()
+            elif pre_truncated:
+                if step % barrier.hard_every == 0:
+                    new_state = barrier.cut(new_state, hard=True)
+            else:
+                trunc = barrier.cut(new_state)
                 if new_state.is_cached:
                     new_state.unpersist()
                 new_state = trunc

@@ -193,6 +193,53 @@ ORDER BY l0.id
 """
 
 
+def q_lpa_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-constrained multi-wave LPA (the reference's signature
+    routine, graph.py:30-123) on the co-supplier graph: anchors are the
+    id%7==0 vertices, wave 1 may only absorb even-id satellites, wave 2
+    absorbs the rest; one step per wave so the oracle unrolls exactly."""
+    from .operators.labelprop import anchored_label_propagation
+
+    e = co_supplier_edges(spark, sf_dir)
+    vs = (
+        e.select(F.col("src_id").alias("id"))
+        .unionByName(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    anchors = vs.filter(F.col("id") % 7 == 0).select("id", F.col("id").alias("label"))
+    labels, _ = anchored_label_propagation(
+        spark,
+        e,
+        anchors=anchors,
+        waves=[F.col("dst_id") % 2 == 0, F.lit(True)],
+        steps_per_wave=1,
+    )
+    return labels.orderBy("id")
+
+
+_ORACLE_LPA_ANCHORED = f"""
+WITH e0 AS ({_SQL_CO_SUPPLIER}),
+und0 AS (SELECT src_id, dst_id, 1.0 AS weight FROM e0
+         UNION ALL SELECT dst_id, src_id, 1.0 FROM e0),
+und AS (SELECT src_id, dst_id, sum(weight) AS weight FROM und0 GROUP BY 1, 2),
+verts AS (SELECT DISTINCT src_id AS id FROM und),
+l0 AS (SELECT id, CASE WHEN id % 7 = 0 THEN id END AS label FROM verts),
+m1 AS (SELECT und.dst_id AS id, min(l0.label) AS cand
+       FROM l0 JOIN und ON l0.id = und.src_id
+       WHERE l0.label IS NOT NULL AND und.dst_id % 2 = 0
+       GROUP BY 1),
+l1 AS (SELECT l0.id, coalesce(l0.label, m1.cand) AS label
+       FROM l0 LEFT JOIN m1 USING (id)),
+m2 AS (SELECT und.dst_id AS id, min(l1.label) AS cand
+       FROM l1 JOIN und ON l1.id = und.src_id
+       WHERE l1.label IS NOT NULL
+       GROUP BY 1),
+l2 AS (SELECT l1.id, coalesce(l1.label, m2.cand) AS label
+       FROM l1 LEFT JOIN m2 USING (id))
+SELECT id, CAST(coalesce(label, -1) AS BIGINT) AS label FROM l2 ORDER BY id
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = co_supplier_edges(spark, sf_dir)
     return triangle_count(e)
@@ -572,11 +619,12 @@ ORDER BY h.doc_id
 
 
 def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set (1-gram) Jaccard ≥ 0.5 pairs — the SQL-checkable slice
-    of the n-gram dedup family."""
+    """Word-3-gram Jaccard ≥ 0.5 pairs with a document-frequency cap of
+    50 on shingles — the inverted-index config that scales (stop-shingle
+    hubs never reach the self-join)."""
     d = _read(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(d, n=1, threshold=0.5)
+        ngram_jaccard_pairs(d, n=3, threshold=0.5, max_doc_freq=50)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
@@ -584,12 +632,19 @@ def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_TOKEN_JACCARD = """
 WITH toks AS (
-  SELECT doc_id,
-         unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
   FROM documents WHERE trim(text) <> ''),
-sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM toks WHERE len(t) >= 3),
+dfreq AS (SELECT shingle, count(*) AS d FROM sh GROUP BY 1),
+shc AS (SELECT sh.doc_id, sh.shingle
+        FROM sh JOIN dfreq USING (shingle) WHERE d <= 50),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
@@ -629,26 +684,60 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+_EMB_NEAR_PARAMS = {"threshold": 0.5, "n_planes": 6, "n_tables": 12,
+                    "seed": 42, "dim": 64}
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicates through the multi-table hyperplane-LSH
+    bucket path (every join an equi-join — the 100-TB plan). The oracle
+    replicates the identical plane constants in SQL, so the approximate
+    operator's semantics are checked exactly."""
     from .operators.dedup import embedding_near_duplicates
 
     emb = _read(spark, sf_dir, "embeddings")
     return (
-        embedding_near_duplicates(emb, threshold=0.5)
+        embedding_near_duplicates(emb, method="lsh", **_EMB_NEAR_PARAMS)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
         .orderBy("id_a", "id_b")
     )
 
 
-_ORACLE_EMB_NEAR = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.5
+def _emb_near_dup_sql(threshold: float, n_planes: int, n_tables: int,
+                      seed: int, dim: int) -> str:
+    """DuckDB SQL replicating lsh_near_duplicates bit-for-bit: the same
+    hyperplane constants (repr round-trips float64 exactly), the same
+    sign-bit buckets, the same candidate equi-join + cosine verify."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    tables = []
+    for t in range(n_tables):
+        bits = []
+        for i in range(n_planes):
+            lit = "[" + ", ".join(repr(x) for x in planes[t * n_planes + i]) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(ev, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        tables.append(
+            f"SELECT vec_id, {t} AS t, (" + " + ".join(bits) + ") AS bucket FROM v"
+        )
+    buckets = "\nUNION ALL\n".join(tables)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+b AS ({buckets}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket
+                          AND a.vec_id < c.vec_id)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(va.ev, vb.ev), 6) AS cos
+FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+WHERE list_cosine_similarity(va.ev, vb.ev) >= {threshold}
 ORDER BY 1, 2
 """
+
+
+_ORACLE_EMB_NEAR = _emb_near_dup_sql(**_EMB_NEAR_PARAMS)
 
 
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,6 +822,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank_3steps": (q_pagerank_3steps, _pagerank_sql(3)),
     "connected_components": (q_connected_components, _cc_sql(4)),
     "lpa_1step": (q_lpa_1step, _ORACLE_LPA_1STEP),
+    "lpa_anchored": (q_lpa_anchored, _ORACLE_LPA_ANCHORED),
     "triangle_count": (q_triangle_count, _ORACLE_TRIANGLES),
     "graph_contraction": (q_graph_contraction, _ORACLE_CONTRACTION),
     "frontier_indegree0": (q_frontier_indegree0, _ORACLE_FRONTIER),

@@ -1,0 +1,95 @@
+"""Settle the CSR-vs-dataframe PageRank question with data (VERDICT r1 #3).
+
+Measures steady-state superstep time for both execution paths on the
+SAME edge table at two scales (~8M and ~32M edges), local[32]. Whatever
+wins at 32M becomes the documented default; the loser is demoted to an
+explicitly experimental path.
+
+Run: python scripts/csr_crossover.py   (writes BENCH/CSR_CROSSOVER.md)
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cim_framework_graph_partitioning_spark.operators.edges import derive_edges
+from cim_framework_graph_partitioning_spark.operators.pagerank import pagerank
+from cim_framework_graph_partitioning_spark.session import get_spark
+from cim_framework_graph_partitioning_spark.sources.corpus import synthesize_corpus
+
+SCALES = [int(x) for x in os.environ.get("CSR_SCALES", "1000000,4000000").split(",")]
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+STEPS = int(os.environ.get("CSR_STEPS", "6"))
+
+
+def edge_table(n_files: int) -> str:
+    out = os.path.join(tempfile.gettempdir(), f"scaling_edges_{n_files}.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        spark = get_spark(app_name="csr-prep", master=f"local[{CORES}]")
+        files = synthesize_corpus(spark, n_files=n_files, n_repos=500, seed=42)
+        derive_edges(files).edges.write.mode("overwrite").parquet(out)
+        spark.stop()
+    return out
+
+
+def run_mode(spark, edges, mode: str) -> dict:
+    n_edges = edges.count()
+    sink: list = []
+    t0 = time.monotonic()
+    pagerank(spark, edges, tol=0.0, max_iter=STEPS, mode=mode,
+             checkpoint_every=STEPS, metrics_sink=sink)
+    wall = time.monotonic() - t0
+    steady = [m["superstep_sec"] for m in sink[1:]] or [m["superstep_sec"] for m in sink]
+    sec = sum(steady) / len(steady)
+    return {
+        "mode": mode, "edges": n_edges, "steps": STEPS,
+        "wall_sec": round(wall, 2), "sec_per_superstep": round(sec, 3),
+        "edges_per_sec": round(n_edges / sec, 1),
+    }
+
+
+def main() -> None:
+    results = []
+    for n_files in SCALES:
+        path = edge_table(n_files)
+        spark = get_spark(app_name=f"csr-x-{n_files}", master=f"local[{CORES}]",
+                          shuffle_partitions=CORES)
+        edges = spark.read.parquet(path)
+        for mode in ["dataframe", "csr"]:
+            r = run_mode(spark, edges, mode)
+            r["n_files"] = n_files
+            results.append(r)
+            print(json.dumps(r))
+        spark.stop()
+
+    today = datetime.date.today().isoformat()
+    lines = [
+        f"# CSR vs dataframe PageRank crossover ({today})",
+        "",
+        f"local[{CORES}], steady-state superstep seconds (mean of steps 2..{STEPS}),",
+        "same parquet edge table for both modes at each scale.",
+        "",
+        "| edges | mode | s/superstep | edges/sec |",
+        "|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['edges']:,} | {r['mode']} | {r['sec_per_superstep']} "
+            f"| {r['edges_per_sec']:,.0f} |"
+        )
+    lines += ["", "Raw JSON:", "```json", json.dumps(results), "```", ""]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/CSR_CROSSOVER.md", "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

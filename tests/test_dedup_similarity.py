@@ -110,6 +110,56 @@ def test_embedding_near_duplicates(spark):
     assert got == {(0, 1)}
 
 
+def test_embedding_near_dup_lsh_vs_exact_oracle(spark):
+    """LSH path: pairs are a SUBSET of the exact brute-force pairs (the
+    cosine verify kills false positives), the planted near-dup is
+    recalled, and reported cosines agree with the exact path."""
+    rows, emb = _toy_embeddings(spark)
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_duplicates(emb, threshold=0.9, method="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_duplicates(emb, threshold=0.9, method="lsh").collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert (0, 1) in lsh  # planted pair (cos ~0.9998) must be recalled
+    for k, c in lsh.items():
+        assert math.isclose(c, exact[k], abs_tol=1e-12)
+
+
+def test_embedding_near_dup_plan_has_no_nested_loop_join(spark):
+    """The registered near-dup path must be pure equi-joins — a
+    BroadcastNestedLoopJoin means the cartesian baseline leaked back in."""
+    rows, emb = _toy_embeddings(spark)
+    plan = embedding_near_duplicates(emb, threshold=0.9, method="lsh")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """Shingles above the df cap are dropped from intersection AND union."""
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common alpha beta gamma"),
+            (1, "common common common alpha beta delta"),
+            (2, "common common common zeta eta theta"),
+            (3, "common common common iota kappa mu"),
+        ],
+        "doc_id long, text string",
+    )
+    # 1-grams: 'common' has df=4; cap 3 drops it everywhere.
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=1, max_doc_freq=3).collect()
+    }
+    # doc0 vs doc1 over capped space: {alpha,beta,gamma} vs {alpha,beta,delta}
+    assert math.isclose(got[(0, 1)], 2 / 4, abs_tol=1e-12)
+    # docs sharing ONLY the capped shingle never pair at all
+    assert (0, 2) not in got and (2, 3) not in got
+
+
 def test_brute_force_topk_matches_numpy(spark):
     rows, emb = _toy_embeddings(spark)
     mat = np.array([v for _, v in rows])

@@ -68,6 +68,69 @@ def test_pagerank_salted_matches_plain(spark):
         assert math.isclose(g1[k], g2[k], abs_tol=1e-9)
 
 
+def test_pagerank_csr_sliced_blocks_match_plain(spark):
+    """CSR blocks split into bounded slices (Arrow 2GB guard) — with a
+    pathological 7-edge slice bound every block is multi-slice, and the
+    result must still equal the dataframe path exactly."""
+    import math as _math
+
+    triples = _random_edges(11, n=30, m=90)
+    r_df, _ = pagerank(spark, _edges_df(spark, triples), tol=1e-8, max_iter=50)
+    r_csr, _ = pagerank(
+        spark, _edges_df(spark, triples), tol=1e-8, max_iter=50,
+        mode="csr", csr_slice_edges=7,
+    )
+    a = {r.id: r.rank for r in r_df.collect()}
+    b = {r.id: r.rank for r in r_csr.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert _math.isclose(a[k], b[k], abs_tol=1e-9), k
+
+
+def test_anchored_lpa_absorbs_satellites(spark):
+    """Reference graph.py:30-123 semantics: anchors keep fixed labels,
+    satellites adopt the min labeled-neighbor label until coverage."""
+    from pyspark.sql import functions as F
+
+    from cim_framework_graph_partitioning_spark.operators.labelprop import (
+        anchored_label_propagation,
+    )
+
+    # path 0-1-2-3-4, anchors 0 and 4; isolated pair 8-9 (never covered)
+    e = _edges_df(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (8, 9, 1.0)])
+    anchors = spark.createDataFrame([(0, 0), (4, 4)], "id long, label long")
+    labels, steps = anchored_label_propagation(spark, e, anchors)
+    got = {r.id: r.label for r in labels.collect()}
+    # 1 absorbed by 0, 3 by 4; 2 sees labeled {1:0, 3:4} in step 2 → min 0
+    assert got == {0: 0, 1: 0, 2: 0, 3: 4, 4: 4, 8: -1, 9: -1}
+    assert steps >= 2
+    # coverage assert ports graph.py:121
+    with pytest.raises(AssertionError, match="coverage"):
+        anchored_label_propagation(spark, e, anchors, require_total=True)
+
+
+def test_anchored_lpa_wave_priority(spark):
+    """Wave order matters: a satellite absorbed in wave 1 keeps that
+    label even if wave 2 would have offered a smaller one."""
+    from pyspark.sql import functions as F
+
+    from cim_framework_graph_partitioning_spark.operators.labelprop import (
+        anchored_label_propagation,
+    )
+
+    # satellite 5 touches anchor 0 (weight 1) and anchor 10 (weight 3)
+    e = _edges_df(spark, [(0, 5, 1.0), (10, 5, 3.0)])
+    anchors = spark.createDataFrame([(0, 0), (10, 10)], "id long, label long")
+    # wave 1 restricted to heavy edges → 5 absorbed by 10 first
+    labels, _ = anchored_label_propagation(
+        spark, e, anchors, waves=[F.col("weight") >= 2, F.lit(True)]
+    )
+    assert {r.id: r.label for r in labels.collect()}[5] == 10
+    # unrestricted single wave → min label 0 wins
+    labels2, _ = anchored_label_propagation(spark, e, anchors)
+    assert {r.id: r.label for r in labels2.collect()}[5] == 0
+
+
 def test_pagerank_salt_buckets_balanced_on_planted_hub(spark):
     """The salt must spread a hub's in-edges across buckets even when
     every in-edge carries an IDENTICAL contribution (uniform early ranks
@@ -106,7 +169,8 @@ def test_pagerank_dangling_vertices(spark):
 
 
 @pytest.mark.parametrize("seed", [5])
-def test_connected_components_exact(spark, seed):
+@pytest.mark.parametrize("algorithm", ["star", "minlabel"])
+def test_connected_components_exact(spark, seed, algorithm):
     rng = random.Random(seed)
     # several small clusters + isolated pair
     triples = []
@@ -117,10 +181,25 @@ def test_connected_components_exact(spark, seed):
             if u != v:
                 triples.append((u, v, 1.0))
         base += 100
-    labels, _ = connected_components(spark, _edges_df(spark, triples))
+    labels, _ = connected_components(
+        spark, _edges_df(spark, triples), algorithm=algorithm
+    )
     got = {r.id: r.component for r in labels.collect()}
     want = cc_oracle([(u, v) for u, v, _ in triples])
     assert got == want
+
+
+def test_connected_components_star_beats_diameter(spark):
+    """Two-phase star CC converges in O(log^2 n) supersteps regardless of
+    diameter — on a 200-vertex path it must finish in far fewer steps
+    than the 200 min-label propagation would need, with exact labels."""
+    path = [(i, i + 1, 1.0) for i in range(200)]
+    labels, steps = connected_components(
+        spark, _edges_df(spark, path), algorithm="star", max_iter=60
+    )
+    got = {r.id: r.component for r in labels.collect()}
+    assert got == {i: 0 for i in range(201)}
+    assert steps <= 15, f"star CC took {steps} supersteps on a 200-path"
 
 
 def test_lpa_matches_oracle(spark):

@@ -51,8 +51,35 @@ def test_checkpoint_artifacts_written(spark, tmp_path):
 
     lineage = spark.read.parquet(f"{ck}/lineage")
     cols = set(lineage.columns)
-    assert {"run_id", "superstep", "partition_id", "rows"} <= cols
-    # lineage row counts must reconstruct the state row count
-    n_vertices = spark.read.parquet(f"{ck}/state/superstep=3").count()
-    recon = lineage.filter("superstep = 3").groupBy().sum("rows").collect()[0][0]
-    assert recon == n_vertices
+    assert {"run_id", "superstep", "partition_id", "metric", "value"} <= cols
+    metrics_present = {
+        r.metric for r in lineage.select("metric").distinct().collect()
+    }
+    # content, not just counts: per-partition rank contributions + real
+    # bytes written (the reference's per-core stream analogue)
+    assert {"rows", "bytes", "sum_rank", "max_rank"} <= metrics_present
+
+    state = spark.read.parquet(f"{ck}/state/superstep=3")
+    last = lineage.filter("superstep = 3")
+
+    def total(metric):
+        return (
+            last.filter(f"metric = '{metric}'").groupBy().sum("value").collect()[0][0]
+        )
+
+    # lineage must reconstruct the global state aggregates exactly
+    assert total("rows") == state.count()
+    assert math.isclose(total("sum_rank"), 1.0, abs_tol=1e-9)  # rank mass
+    # bytes: sum of per-partition part files == actual on-disk state size
+    on_disk = sum(
+        os.path.getsize(os.path.join(f"{ck}/state/superstep=3", f))
+        for f in os.listdir(f"{ck}/state/superstep=3")
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert total("bytes") == on_disk > 0
+    # per-partition max contributions bound the global max
+    gmax = state.groupBy().max("rank").collect()[0][0]
+    lmax = (
+        last.filter("metric = 'max_rank'").groupBy().max("value").collect()[0][0]
+    )
+    assert math.isclose(gmax, lmax, abs_tol=1e-15)
