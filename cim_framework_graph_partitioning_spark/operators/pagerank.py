@@ -33,6 +33,13 @@ Two execution paths, identical semantics:
   per-block PARTIAL sums per dst — shuffle volume drops from one row
   per edge to one row per (block, distinct dst).
 
+Which is faster is MEASURED, not assumed (BENCH/CSR_CROSSOVER.md):
+csr wins ~2x in the mid-regime (~10M edges / 32 threads, skewed
+graphs); dataframe wins ~1.5x in the DRAM-bound regime (32M edges on
+one box) because csr pays an Arrow hop into Python workers per
+superstep. dataframe is the default; csr is the documented mid-regime
+option.
+
 At 100 TB the static normalized-edge table dominates; both paths scan it
 once per superstep with only rank-sized shuffles on top, and
 checkpointing bounds lineage (plans/superstep.py) while providing
@@ -105,7 +112,15 @@ def pagerank(
 
     norm = _normalized_edges(edges)
     if mode == "csr":
-        blocks = _pack_csr_blocks(norm, p, max_edges_per_slice=csr_slice_edges).persist()
+        # hash-partition the (static, large) block table by its cogroup
+        # key ONCE: the per-superstep cogroup then reuses this exchange
+        # and only the rank side shuffles — the same static-side rule
+        # the dataframe path follows.
+        blocks = (
+            _pack_csr_blocks(norm, p, max_edges_per_slice=csr_slice_edges)
+            .repartition(p, "block")
+            .persist()
+        )
         blocks.count()
     else:
         norm = norm.repartition(p, "src_id").persist()

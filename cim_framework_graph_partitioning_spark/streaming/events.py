@@ -52,6 +52,46 @@ def stream_events_from_dir(spark: SparkSession, dir_path: str) -> DataFrame:
     )
 
 
+def sessionized_counts(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator: per-user session counting via
+    ``applyInPandasWithState`` (a gap > gap_sec between consecutive
+    events opens a new session — identical semantics to the batch
+    ``q_events_sessions`` query, so stream ≡ batch is testable).
+
+    State per user = (last_ts epoch seconds, sessions so far); each
+    micro-batch updates it with numpy-vectorized gap counting (no
+    per-row Python) and emits the running total. Output mode: update.
+    """
+    import numpy as np  # local: the kernel ships to workers
+    import pandas as pd
+
+    out_schema = "user_id long, n_sessions long"
+    state_schema = "last_ts double, n long"
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            last_ts, n = state.get
+        else:
+            last_ts, n = float("nan"), 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("ts")
+            ts = pdf["ts"].astype("int64").to_numpy() / 1e9
+            prev = np.concatenate(([last_ts], ts[:-1]))
+            gaps = ts - prev
+            # NaN prev (first-ever event) compares False; count it as a
+            # session start explicitly.
+            n += int(np.isnan(prev[0])) + int(np.nansum(gaps > gap_sec))
+            last_ts = float(ts[-1])
+        state.update((last_ts, int(n)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [int(n)]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, dir_path: str,
                          query_name: str = "events_windowed") -> DataFrame:
     """Drive the stream to completion synchronously (test/smoke path);
