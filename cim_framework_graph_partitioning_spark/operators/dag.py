@@ -47,18 +47,24 @@ def topological_levels(
         .distinct()
         .persist()
     )
-    out = []
+    result = None
     level = 0
     n_left = remaining.count()
     b_verts = PlanBarrier(spark, tag="topo_verts")
     b_edges = PlanBarrier(spark, tag="topo_edges")
+    b_result = PlanBarrier(spark, tag="topo_result")
     while n_left > 0 and level < max_iter:
         has_in = remaining_edges.select(F.col("dst_id").alias("id")).distinct()
         frontier = remaining.join(has_in, "id", "left_anti").persist()
         n_front = frontier.count()
         if n_front == 0:
             raise ValueError(f"cycle detected: {n_left} vertices unpeelable")
-        out.append(frontier.select("id", F.lit(level).alias("level")))
+        # accumulate levels through the barrier (materialized each round)
+        # so no later union re-reads a released intermediate state.
+        level_df = frontier.select("id", F.lit(level).alias("level"))
+        result = b_result.cut(
+            level_df if result is None else result.unionByName(level_df)
+        )
         new_remaining = b_verts.cut(remaining.join(frontier, "id", "left_anti"))
         new_edges = b_edges.cut(
             remaining_edges.join(
@@ -71,11 +77,8 @@ def topological_levels(
         remaining, remaining_edges = new_remaining, new_edges
         n_left -= n_front
         level += 1
-    if not out:  # empty edge table → no vertices, no levels
+    if result is None:  # empty edge table → no vertices, no levels
         return spark.createDataFrame([], "id long, level int")
-    result = out[0]
-    for df in out[1:]:
-        result = result.unionByName(df)
     return result.repartition(p, "id")
 
 

