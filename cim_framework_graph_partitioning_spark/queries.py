@@ -173,24 +173,38 @@ def q_lpa_1step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.orderBy("id")
 
 
-_ORACLE_LPA_1STEP = f"""
+def _lpa_sql(steps: int) -> str:
+    """Unrolled synchronous-LPA SQL (weighted votes, deterministic
+    min-label tie-break), mirroring label_propagation exactly."""
+    pre = f"""
 WITH e0 AS ({_SQL_CO_SUPPLIER}),
 und0 AS (SELECT src_id, dst_id, 1.0 AS weight FROM e0
          UNION ALL SELECT dst_id, src_id, 1.0 FROM e0),
 und AS (SELECT src_id, dst_id, sum(weight) AS weight FROM und0 GROUP BY 1, 2),
 verts AS (SELECT DISTINCT src_id AS id FROM und),
-l0 AS (SELECT id, id AS label FROM verts),
-votes AS (SELECT und.dst_id, l0.label, sum(und.weight) AS wsum
-          FROM l0 JOIN und ON l0.id = und.src_id GROUP BY 1, 2),
-ranked AS (SELECT dst_id, label,
+l0 AS (SELECT id, id AS label FROM verts)"""
+    body = ""
+    for i in range(1, steps + 1):
+        p = i - 1
+        body += f""",
+votes{i} AS (SELECT und.dst_id, l{p}.label, sum(und.weight) AS wsum
+          FROM l{p} JOIN und ON l{p}.id = und.src_id GROUP BY 1, 2),
+ranked{i} AS (SELECT dst_id, label,
                   row_number() OVER (PARTITION BY dst_id
                                      ORDER BY wsum DESC, label ASC) AS rn
-           FROM votes)
-SELECT l0.id, coalesce(r.label, l0.id) AS label
-FROM l0 LEFT JOIN (SELECT dst_id, label FROM ranked WHERE rn = 1) r
-  ON l0.id = r.dst_id
-ORDER BY l0.id
-"""
+           FROM votes{i}),
+l{i} AS (SELECT l{p}.id, coalesce(r.label, l{p}.label) AS label
+       FROM l{p} LEFT JOIN (SELECT dst_id, label FROM ranked{i} WHERE rn = 1) r
+         ON l{p}.id = r.dst_id)"""
+    return pre + body + f"\nSELECT id, label FROM l{steps} ORDER BY id"
+
+
+def q_lpa_2steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous LPA supersteps — exercises the cross-step label
+    carry (coalesce against the PREVIOUS step's labels, not l0)."""
+    e = co_supplier_edges(spark, sf_dir)
+    labels, _ = label_propagation(spark, e, max_iter=2)
+    return labels.orderBy("id")
 
 
 def q_lpa_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,7 +835,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "degree_distribution": (q_degree_distribution, _ORACLE_DEGREE_DIST),
     "pagerank_3steps": (q_pagerank_3steps, _pagerank_sql(3)),
     "connected_components": (q_connected_components, _cc_sql(4)),
-    "lpa_1step": (q_lpa_1step, _ORACLE_LPA_1STEP),
+    "lpa_1step": (q_lpa_1step, _lpa_sql(1)),
+    "lpa_2steps": (q_lpa_2steps, _lpa_sql(2)),
     "lpa_anchored": (q_lpa_anchored, _ORACLE_LPA_ANCHORED),
     "triangle_count": (q_triangle_count, _ORACLE_TRIANGLES),
     "graph_contraction": (q_graph_contraction, _ORACLE_CONTRACTION),

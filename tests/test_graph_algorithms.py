@@ -68,6 +68,26 @@ def test_pagerank_salted_matches_plain(spark):
         assert math.isclose(g1[k], g2[k], abs_tol=1e-9)
 
 
+def test_pagerank_corpus_scale_matches_numpy_oracle(spark):
+    """Per-vertex parity at a LARGER fixture (5k-file synthesized corpus,
+    power-law hubs) against the dense numpy oracle — north rule allclose
+    1e-6 beyond toy graphs (NOTES_ROUND2 #5)."""
+    from cim_framework_graph_partitioning_spark.sources.corpus import (
+        synthesize_corpus,
+    )
+
+    files = synthesize_corpus(spark, n_files=5000, n_repos=50, seed=42)
+    edges = derive_edges(files).edges.persist()
+    triples = [(r.src_id, r.dst_id, r.weight) for r in edges.collect()]
+    ranks, _ = pagerank(spark, edges, tol=1e-8, max_iter=100)
+    got = {r.id: r.rank for r in ranks.collect()}
+    want = pagerank_oracle(triples, tol=1e-8, max_iter=100)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-6), k
+    edges.unpersist()
+
+
 def test_pagerank_csr_sliced_blocks_match_plain(spark):
     """CSR blocks split into bounded slices (Arrow 2GB guard) — with a
     pathological 7-edge slice bound every block is multi-slice, and the
