@@ -132,12 +132,26 @@ def pagerank(
     # the right value, not the fresh-run one.
     state: dict[str, float | None] = {"dang": None}
 
+    import os as _os
+    import time as _time
+    _trace = _os.environ.get("PAGERANK_TRACE") == "1"
+
     def step_fn(ranks: DataFrame, step: int):
+        _t = _time.monotonic()
+
+        def _mark(label):
+            nonlocal _t
+            if _trace:
+                now = _time.monotonic()
+                print(f"    step {step} {label}: {now - _t:.2f}s", flush=True)
+                _t = now
+
         if state["dang"] is None:
             state["dang"] = float(
                 ranks.filter(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0]
                 or 0.0
             )
+        _mark("dang_init")
         if mode == "csr":
             sums = _csr_contributions(ranks.select("id", "rank"), blocks, p)
         else:
@@ -181,13 +195,16 @@ def pagerank(
                 "prev",
             )
         )
+        _mark("plan_build")
         # job 1: materialize + truncate lineage; job 2: scalar stats over
         # the local checkpoint (delta + next dangling mass in one agg).
         newc = new_ranks.localCheckpoint(eager=True)
+        _mark("localCheckpoint")
         row = newc.agg(
             F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"),
             F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias("dm"),
         ).collect()[0]
+        _mark("stats_agg")
         state["dang"] = float(row.dm or 0.0)
         return (
             newc.select("id", "rank", "has_out"),

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def release_checkpoint(df: DataFrame | None) -> None:
-    """Explicitly unpersist the RDD behind a localCheckpoint'ed frame.
+    """Explicitly unpersist the RDD(s) behind a localCheckpoint'ed frame.
 
     ``Dataset.localCheckpoint`` registers its materialized RDD in the
     SparkContext's persistentRdds map and nothing ever removes it (the
@@ -45,13 +45,23 @@ def release_checkpoint(df: DataFrame | None) -> None:
     Combined with the untruncated-ancestry build bug, every superseded
     checkpoint pins its whole dependency graph in the driver heap —
     measured: the 2nd and 3rd identical PageRank runs in one session
-    were 2x slower with multi-second GC stalls until this release."""
+    were 2x slower with multi-second GC stalls until this release.
+
+    Walks ALL leaves of the analyzed plan, not just a top-level
+    LogicalRDD: a state frame is often a Project/Filter OVER the
+    checkpointed LogicalRDD (e.g. pagerank returns
+    ``newc.select("id", "rank", "has_out")``), and matching only the
+    root silently skipped the release for exactly those frames."""
     if df is None:
         return
     try:
         plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)  # allow-jvm-handle: py4j field accessor, not the Python RDD API
+        leaves = plan.collectLeaves()  # allow-jvm-handle: py4j walk of the analyzed plan, not the Python RDD API
+        it = leaves.iterator()
+        while it.hasNext():
+            leaf = it.next()
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
     except Exception:
         pass  # non-checkpointed frame or internal API drift — harmless
 

@@ -113,13 +113,19 @@ class SuperstepRunner:
         melted = wide.select(
             "partition_id", F.explode(F.create_map(*kv)).alias("metric", "value")
         )
+        # The "bytes" metric needs to stat the written part files. That
+        # only works when the checkpoint dir is a driver-visible POSIX
+        # path (local/NFS); on HDFS/S3 URIs (the 100-TB deployment) we
+        # degrade to omitting "bytes" rather than raising — rows and the
+        # per-column sums/maxes above are filesystem-independent.
         sizes = []
-        for fn in os.listdir(path):
-            if fn.startswith("part-") and fn.endswith(".parquet"):
-                sizes.append(
-                    (int(fn.split("-")[1]),
-                     float(os.path.getsize(os.path.join(path, fn))))
-                )
+        if os.path.isdir(path):
+            for fn in os.listdir(path):
+                if fn.startswith("part-") and fn.endswith(".parquet"):
+                    sizes.append(
+                        (int(fn.split("-")[1]),
+                         float(os.path.getsize(os.path.join(path, fn))))
+                    )
         rows_df = melted
         if sizes:
             bytes_df = self.spark.createDataFrame(
@@ -211,7 +217,9 @@ class SuperstepRunner:
                 barrier.mark_hard()
             elif pre_truncated:
                 if step % barrier.hard_every == 0:
-                    new_state = barrier.cut(new_state, hard=True)
+                    cut = barrier.cut(new_state, hard=True)
+                    release_checkpoint(new_state)  # replaced pre-truncated frame
+                    new_state = cut
             else:
                 trunc = barrier.cut(new_state)
                 if new_state.is_cached:

@@ -83,3 +83,39 @@ def test_checkpoint_artifacts_written(spark, tmp_path):
         last.filter("metric = 'max_rank'").groupBy().max("value").collect()[0][0]
     )
     assert math.isclose(gmax, lmax, abs_tol=1e-15)
+
+
+def test_release_checkpoint_walks_plan_leaves(spark):
+    """A state frame is often a Project OVER the checkpointed LogicalRDD
+    (pagerank returns newc.select(...)); release must find the leaf, not
+    just a top-level LogicalRDD (r2 ADVICE: the leak this module exists
+    to fix silently survived for projected states)."""
+    from cim_framework_graph_partitioning_spark.plans.barrier import (
+        release_checkpoint,
+    )
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    proj = spark.range(64).localCheckpoint(eager=True).selectExpr("id * 2 AS x")
+    assert jsc.getPersistentRDDs().size() == before + 1
+    release_checkpoint(proj)
+    assert jsc.getPersistentRDDs().size() == before
+    # non-checkpointed frames are a harmless no-op
+    release_checkpoint(spark.range(5).selectExpr("id + 1 AS y"))
+
+
+def test_pagerank_loop_releases_superseded_checkpoints(spark):
+    """After a pagerank run, no superseded per-superstep checkpoint RDD
+    may stay pinned in SparkContext.persistentRdds (each pinned one
+    drags its whole untruncated ancestry into the driver heap)."""
+    from .test_graph_algorithms import _edges_df, _random_edges
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    df = _edges_df(spark, _random_edges(33, n=40, m=120))
+    ranks, steps = pagerank(spark, df, tol=0.0, max_iter=6)
+    assert steps == 6
+    after = jsc.getPersistentRDDs().size()
+    # the returned final state may legitimately stay pinned; anything
+    # beyond one frame's worth of RDDs is a leak.
+    assert after - before <= 1, f"leaked {after - before} checkpoint RDDs"
