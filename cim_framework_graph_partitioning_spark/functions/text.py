@@ -116,22 +116,44 @@ def doc_fingerprint(text: pd.Series) -> pd.Series:
     """Deterministic polynomial rolling-hash fingerprint, base 1000003
     mod 2^64 (natural uint64 wraparound).
 
-    Genuinely vectorized: the batch's UTF-8 bytes are flattened into one
-    numpy array and the hash recurrence h = h*base + byte runs one numpy
-    op per CHARACTER POSITION across the whole batch (ragged docs handled
-    by an active-length mask) — no per-row Python callables."""
+    Closed form of the recurrence h = h*base + byte:
+
+        h(doc) = Σ_j byte_j · base^(L-1-j)   (mod 2^64)
+
+    evaluated as one weighted sum over the batch's flattened UTF-8
+    bytes. Work and transient memory track TOTAL bytes, not
+    n_docs × max_len: the flat byte array stays uint8 (no 8x uint64
+    blow-up of the whole batch), and the weighted sum runs in fixed
+    4 MiB windows of the flat array with per-window uint64 temporaries
+    — a single 10 MB document in an otherwise short batch costs its own
+    bytes, not 10M masked passes over every row (r2 ADVICE)."""
     base = np.uint64(1000003)
     filled = text.fillna("")
     enc = filled.str.encode("utf-8", "ignore")
     lens = enc.str.len().fillna(0).to_numpy(dtype="int64")
     n = len(filled)
     h = np.zeros(n, dtype=np.uint64)
-    if n and lens.max() > 0:
-        flat = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8).astype("uint64")
+    total = int(lens.sum()) if n else 0
+    if total > 0:
+        flat = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8)
         offsets = np.zeros(n, dtype="int64")
         np.cumsum(lens[:-1], out=offsets[1:])
-        for pos in range(int(lens.max())):
-            active = lens > pos
-            idx = offsets[active] + pos
-            h[active] = h[active] * base + flat[idx]
+        ends = offsets + lens
+        # P[k] = base^k mod 2^64 (uint64 cumprod wraps, which IS the mod)
+        max_len = int(lens.max())
+        P = np.full(max_len, base, dtype=np.uint64)
+        P[0] = np.uint64(1)
+        np.cumprod(P, out=P)
+        window = 1 << 22
+        with np.errstate(over="ignore"):
+            for lo in range(0, total, window):
+                hi = min(lo + window, total)
+                gidx = np.arange(lo, hi, dtype="int64")
+                # doc of byte g = count of docs fully ending at/before g
+                doc = np.searchsorted(ends, gidx, side="right")
+                exp = lens[doc] - 1 - (gidx - offsets[doc])
+                contrib = flat[lo:hi].astype(np.uint64) * P[exp]
+                docs_here = np.unique(doc)
+                starts = np.searchsorted(doc, docs_here)
+                h[docs_here] += np.add.reduceat(contrib, starts)
     return pd.Series(h.view(np.int64))

@@ -177,6 +177,22 @@ def _cc_two_phase(
         init, step_fn, converged=lambda m: m["changed"] == 0, max_iter=max_iter,
         resume=resume,
     )
+    if steps >= max_iter and runner.history and runner.history[-1]["changed"] != 0:
+        # max_iter exhausted before the star fixpoint: a satellite may
+        # still hold >1 center, and the left join below would then emit
+        # DUPLICATE (id, component) rows — a silently malformed labels
+        # table. Collapse to one center per satellite (min preserves the
+        # partial-contraction invariant: component ids only decrease)
+        # and surface the truncation instead of hiding it.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: star fixpoint not reached in "
+            f"{max_iter} supersteps; emitting one min-center per vertex "
+            f"(labels may be under-merged)",
+            stacklevel=2,
+        )
+        stars = stars.groupBy("a").agg(F.min("b").alias("b"))
     labels = (
         verts.join(stars.hint("shuffle_hash"), verts.id == stars.a, "left")
         .select("id", F.coalesce(F.col("b"), F.col("id")).alias("component"))

@@ -61,35 +61,69 @@ def sessionized_counts(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     State per user = (last_ts epoch seconds, sessions so far); each
     micro-batch updates it with numpy-vectorized gap counting (no
     per-row Python) and emits the running total. Output mode: update.
-    """
-    import numpy as np  # local: the kernel ships to workers
-    import pandas as pd
 
+    Ordering semantics (explicit): ``applyInPandasWithState`` gives NO
+    ordering guarantee for a group's rows ACROSS Arrow chunks, so all
+    chunks of the micro-batch are concatenated and sorted ONCE before
+    gap computation (sorting each chunk independently and folding them
+    in arrival order would see phantom negative gaps at chunk
+    boundaries and silently mis-count sessions). ACROSS micro-batches
+    the state carries last_ts; an event arriving in a later batch with
+    ts <= last_ts (late data) yields a non-positive gap and is counted
+    as in-session — never a new session, never a retroactive merge of
+    two already-counted sessions. Pair with an upstream watermark to
+    bound how late such events can be; within-watermark replays are
+    therefore order-insensitive per batch and conservatively
+    session-merged across batches.
+    """
     out_schema = "user_id long, n_sessions long"
     state_schema = "last_ts double, n long"
+    fn = _session_kernel(gap_sec)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
+def _session_kernel(gap_sec: int):
+    """Build the per-group stateful session-count kernel (module-level
+    so tests can drive it with adversarial multi-chunk input that the
+    file-source test harness cannot force)."""
+    import numpy as np  # local: the kernel ships to workers
+    import pandas as pd
 
     def fn(key, pdfs, state):
         if state.exists:
             last_ts, n = state.get
         else:
             last_ts, n = float("nan"), 0
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values("ts")
-            ts = pdf["ts"].astype("int64").to_numpy() / 1e9
+        # Concatenate ALL chunks, then sort once: chunk boundaries carry
+        # no ordering guarantee (see sessionized_counts docstring).
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            ts = np.sort(
+                np.concatenate(
+                    [c["ts"].astype("int64").to_numpy() for c in chunks]
+                )
+            ) / 1e9
             prev = np.concatenate(([last_ts], ts[:-1]))
+            if not np.isnan(last_ts):
+                # a late event (ts <= state last_ts) sorts first and
+                # would otherwise inflate its successor's gap; for gap
+                # purposes no predecessor may lie before last_ts.
+                prev = np.maximum(prev, last_ts)
             gaps = ts - prev
             # NaN prev (first-ever event) compares False; count it as a
             # session start explicitly.
             n += int(np.isnan(prev[0])) + int(np.nansum(gaps > gap_sec))
-            last_ts = float(ts[-1])
+            # late cross-batch data (ts <= state last_ts) must not move
+            # last_ts backwards
+            last_ts = max(float(ts[-1]), last_ts) if not np.isnan(last_ts) \
+                else float(ts[-1])
         state.update((last_ts, int(n)))
         yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [int(n)]})
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "update", "NoTimeout"
-    )
+    return fn
 
 
 def run_stream_to_memory(spark: SparkSession, dir_path: str,

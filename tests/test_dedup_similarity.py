@@ -211,7 +211,11 @@ def test_text_stats_on_documents_table(spark):
 def test_doc_fingerprint_matches_scalar_oracle(spark):
     from cim_framework_graph_partitioning_spark.functions.text import doc_fingerprint
 
-    texts = ["hello world", "", "hello world", "héllo wörld", "x" * 3000]
+    # the 5 MiB doc spans multiple 4 MiB flat-byte windows, so partial
+    # per-window sums for ONE doc must combine exactly (skew guard:
+    # cost/memory track total bytes, not n_docs x max_len)
+    texts = ["hello world", "", "hello world", "héllo wörld", "x" * 3000,
+             "ab" * ((5 << 20) // 2)]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )

@@ -222,6 +222,25 @@ def test_connected_components_star_beats_diameter(spark):
     assert steps <= 15, f"star CC took {steps} supersteps on a 200-path"
 
 
+def test_connected_components_truncated_run_is_well_formed(spark):
+    """If max_iter exhausts before the star fixpoint, the labels table
+    must still be one row per vertex (no duplicate ids from multi-center
+    satellites) and a warning must surface the truncation (r2 ADVICE)."""
+    import warnings
+
+    path = [(i, i + 1, 1.0) for i in range(200)]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        labels, steps = connected_components(
+            spark, _edges_df(spark, path), algorithm="star", max_iter=1
+        )
+        rows = labels.collect()
+    assert steps == 1
+    assert any("fixpoint not reached" in str(x.message) for x in w)
+    ids = [r.id for r in rows]
+    assert len(ids) == len(set(ids)) == 201  # exactly one row per vertex
+
+
 def test_lpa_matches_oracle(spark):
     triples = _random_edges(9, n=20, m=50)
     labels, _ = label_propagation(spark, _edges_df(spark, triples), max_iter=5)

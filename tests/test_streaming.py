@@ -145,3 +145,61 @@ def test_watermark_drops_late_data(spark, tmp_path):
     types = {r.event_type for r in rows}
     assert "a" in types  # finalized on-time windows emitted
     assert "late" not in types  # late event dropped by the watermark
+
+
+def test_session_kernel_chunk_order_insensitive():
+    """applyInPandasWithState guarantees NO row ordering across a group's
+    Arrow chunks; the kernel must produce identical session counts for
+    any chunking/ordering of the same micro-batch, and late cross-batch
+    events must never open or inflate sessions (r2 ADVICE)."""
+    import pandas as pd
+
+    from cim_framework_graph_partitioning_spark.streaming.events import (
+        _session_kernel,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def run(chunk_lists):
+        """chunk_lists: list of micro-batches, each a list of ts-second
+        lists (chunks). Returns final n_sessions."""
+        fn = _session_kernel(gap_sec=1800)
+        state = FakeState()
+        out = None
+        for chunks in chunk_lists:
+            pdfs = [
+                pd.DataFrame({"ts": pd.to_datetime(c, unit="s")}) for c in chunks
+            ]
+            out = list(fn((7,), iter(pdfs), state))[0]
+        return int(out["n_sessions"].iloc[0])
+
+    h = 3600
+    # two true sessions: [0, 600, 1200] and [3*h, 3*h+60]
+    events = [0, 600, 1200, 3 * h, 3 * h + 60]
+    want = 2
+    # one sorted chunk
+    assert run([[events]]) == want
+    # adversarial: two chunks, later events in the FIRST chunk
+    assert run([[[3 * h, 3 * h + 60], [0, 600, 1200]]]) == want
+    # adversarial: interleaved unsorted chunks
+    assert run([[[1200, 3 * h + 60], [3 * h, 0, 600]]]) == want
+    # across micro-batches in order
+    assert run([[[0, 600, 1200]], [[3 * h, 3 * h + 60]]]) == want
+    # late cross-batch event (ts before state last_ts): documented
+    # conservative semantics — absorbed into the current session (never
+    # opens one retroactively), and it must not inflate its successor's
+    # gap: 3h+60 is 60s after last_ts=3h, so still session #1.
+    assert run([[[3 * h]], [[0, 3 * h + 60]]]) == 1
+    # a genuinely new session after late data still opens
+    assert run([[[3 * h]], [[0, 6 * h]]]) == 2
