@@ -56,7 +56,53 @@ from ..plans.barrier import PlanBarrier, release_checkpoint
 from .edges import symmetrize
 
 
-def exact_objective(und: DataFrame, assignment: DataFrame, lam: float) -> tuple[float, float, float]:
+# Cost-model ablations, mirroring the reference's partition_mode
+# variants (reference: calc_cost.py:360-371; strategy names run.py:39-54)
+# under the engine's comm<->cut, calc<->load mapping (SURVEY §2.3):
+#
+#   objective_mode   reference precedent        engine objective
+#   "default"        mode 0 (dp)                cut + lam*sum(load^2)
+#   "comm2x"         mode 3 (comm time x2)      2*cut + lam*sum(load^2)
+#   "maxload"        mode 4 flips calc between  cut + lam*k*max(load)^2
+#                    max and sum; the engine's
+#                    default is the sum flavor,
+#                    so this is the max side
+#   "pipelined"      mode 6 (sum + max*batch)   cut + lam*(sum(load^2)
+#                                               + B*max(load)^2)
+#
+# Reference mode 5 (0.5x load time) is intentionally dropped: it is dead
+# code in the snapshot (`cp.pattern_map` typo raises AttributeError,
+# SURVEY §4.5#1). Candidate GENERATION always ranks with the default
+# smooth gain (a prefilter heuristic); ACCEPTANCE evaluates the exact
+# mode objective per move, so accepted objectives are exact and monotone
+# under every mode.
+
+OBJECTIVE_MODES = ("default", "comm2x", "maxload", "pipelined")
+
+
+def _cut_scale(objective_mode: str) -> float:
+    return 2.0 if objective_mode == "comm2x" else 1.0
+
+
+def _load_term(loads, lam: float, objective_mode: str, pipeline_batch: int) -> float:
+    """The load component of the objective for a {part: count} map."""
+    vals = list(loads.values())
+    ssq = float(sum(v * v for v in vals))
+    mx2 = float(max(vals) ** 2) if vals else 0.0
+    if objective_mode == "maxload":
+        return lam * len(vals) * mx2
+    if objective_mode == "pipelined":
+        return lam * (ssq + pipeline_batch * mx2)
+    return lam * ssq  # default and comm2x
+
+
+def exact_objective(
+    und: DataFrame,
+    assignment: DataFrame,
+    lam: float,
+    objective_mode: str = "default",
+    pipeline_batch: int = 8,
+) -> tuple[float, float, float]:
     """(objective, edge_cut, sum_sq_load), recomputed distributed."""
     a_src = assignment.select(F.col("id").alias("src_id"), F.col("part").alias("p_src"))
     a_dst = assignment.select(F.col("id").alias("dst_id"), F.col("part").alias("p_dst"))
@@ -68,9 +114,12 @@ def exact_objective(und: DataFrame, assignment: DataFrame, lam: float) -> tuple[
         .agg(F.coalesce(F.sum("weight"), F.lit(0.0)))
         .collect()[0][0]
     )
-    loads = assignment.groupBy("part").count()
-    ssq = loads.agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0]
-    return float(cut) + lam * float(ssq), float(cut), float(ssq)
+    loads_map = {r.part: r["count"] for r in assignment.groupBy("part").count().collect()}
+    ssq = float(sum(v * v for v in loads_map.values()))
+    obj = _cut_scale(objective_mode) * float(cut) + _load_term(
+        loads_map, lam, objective_mode, pipeline_batch
+    )
+    return obj, float(cut), ssq
 
 
 def balanced_partition(
@@ -82,6 +131,8 @@ def balanced_partition(
     moves_per_round: int = 8192,
     salt_buckets: int = 8,
     seed: int = 42,
+    objective_mode: str = "default",
+    pipeline_batch: int = 8,
 ) -> tuple[DataFrame, list[dict]]:
     """Partition vertices into k balanced parts minimizing weighted edge
     cut. Returns (assignment(id, part), round_history).
@@ -94,7 +145,15 @@ def balanced_partition(
     ``moves_per_round`` is a CONSTANT cap (never derived from graph
     size): it bounds driver traffic per round, so the loop's driver
     footprint is O(1) in vertex count.
+
+    ``objective_mode`` selects a cost-model ablation (see
+    OBJECTIVE_MODES above — the reference's strategy flags,
+    calc_cost.py:360-371); ``pipeline_batch`` is the B factor of the
+    "pipelined" mode (reference cp.batch_size role).
     """
+    if objective_mode not in OBJECTIVE_MODES:
+        raise ValueError(f"objective_mode must be one of {OBJECTIVE_MODES}")
+    alpha = _cut_scale(objective_mode)
     p = spark.sparkContext.defaultParallelism
     und = symmetrize(edges).repartition(p, "src_id").persist()
     verts = (
@@ -112,13 +171,16 @@ def balanced_partition(
         )
     )
 
-    best_obj, cut, ssq = exact_objective(und, best, lam)
+    best_obj, cut, ssq = exact_objective(
+        und, best, lam, objective_mode, pipeline_batch
+    )
     loads_map = {
         r.part: r["count"] for r in best.groupBy("part").count().collect()
     }
     for part in range(k):
         loads_map.setdefault(part, 0)
-    history = [{"round": 0, "objective": best_obj, "cut": cut, "ssq": ssq, "moves": 0}]
+    history = [{"round": 0, "objective": best_obj, "cut": cut, "ssq": ssq,
+                "moves": 0, "objective_mode": objective_mode}]
 
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -168,8 +230,11 @@ def balanced_partition(
                     "p_dst",
                 )
                 .withColumn(
+                    # prefilter ranking: exact cut term (mode-scaled),
+                    # default smooth load penalty — acceptance below
+                    # re-evaluates the exact mode objective per move.
                     "gain",
-                    F.col("w") - F.col("w_int")
+                    F.lit(alpha) * (F.col("w") - F.col("w_int"))
                     - F.lit(lam) * 2.0 * (F.col("load_to") - F.col("load_cur") + 1.0),
                 )
                 .filter(F.col("gain") > 0)
@@ -233,21 +298,25 @@ def balanced_partition(
             new_loads = dict(loads_map)
             applied = []
             cut_delta = 0.0
+            load_term = _load_term(new_loads, lam, objective_mode, pipeline_batch)
             for r in kept:
-                lq, lp = new_loads[int(r.p_dst)], new_loads[int(r.p_cur)]
-                delta = -(r.w - r.w_int) + lam * 2.0 * (lq - lp + 1.0)
+                new_loads[int(r.p_cur)] -= 1
+                new_loads[int(r.p_dst)] += 1
+                trial_term = _load_term(new_loads, lam, objective_mode, pipeline_batch)
+                delta = -alpha * (r.w - r.w_int) + (trial_term - load_term)
                 if delta >= 0:
+                    new_loads[int(r.p_cur)] += 1  # revert the trial move
+                    new_loads[int(r.p_dst)] -= 1
                     continue
                 applied.append(r)
                 cut_delta -= (r.w - r.w_int)
-                new_loads[int(r.p_cur)] -= 1
-                new_loads[int(r.p_dst)] += 1
+                load_term = trial_term
             if not applied:
                 break  # keep-best: no improving move exists
             kept = applied
             new_cut = cut + cut_delta
             new_ssq = float(sum(v * v for v in new_loads.values()))
-            new_obj = new_cut + lam * new_ssq
+            new_obj = alpha * new_cut + load_term
 
             mv_df = spark.createDataFrame(
                 [(r.src_id, int(r.p_dst)) for r in kept], "id long, new_part int"
@@ -262,13 +331,16 @@ def balanced_partition(
             best_obj, cut, ssq, loads_map = new_obj, new_cut, new_ssq, new_loads
             history.append(
                 {"round": rnd, "objective": new_obj, "cut": new_cut,
-                 "ssq": new_ssq, "moves": len(kept)}
+                 "ssq": new_ssq, "moves": len(kept),
+                 "objective_mode": objective_mode}
             )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
 
     # drift check: incremental bookkeeping must match a full recompute
-    final_obj, final_cut, final_ssq = exact_objective(und, best, lam)
+    final_obj, final_cut, final_ssq = exact_objective(
+        und, best, lam, objective_mode, pipeline_batch
+    )
     history[-1]["objective_recomputed"] = final_obj
     assert abs(final_obj - best_obj) < 1e-6 * max(1.0, abs(final_obj)), (
         f"incremental objective drifted: {best_obj} vs {final_obj}"

@@ -69,3 +69,48 @@ def test_partitioner_deterministic(spark):
     assert {(r.id, r.part) for r in a1.collect()} == {
         (r.id, r.part) for r in a2.collect()
     }
+
+
+def test_objective_mode_ablations(spark):
+    """Cost-model ablations (reference calc_cost.py:360-371 modes 3/4/6
+    under the comm<->cut, calc<->load mapping): every mode must converge
+    with a monotone exact objective, pass the built-in incremental-vs-
+    recompute drift assert, and comm2x must value cut reduction exactly
+    2x (its round-0 objective = default's + cut)."""
+    import pytest
+
+    from cim_framework_graph_partitioning_spark.operators.partitioner import (
+        OBJECTIVE_MODES,
+        exact_objective,
+    )
+    from cim_framework_graph_partitioning_spark.operators.edges import symmetrize
+
+    edges = _edges_df(spark, _clustered_edges())
+    hist_by_mode = {}
+    for mode in OBJECTIVE_MODES:
+        assignment, history = balanced_partition(
+            spark, edges, k=4, max_rounds=6, objective_mode=mode
+        )
+        objs = [h["objective"] for h in history]
+        assert objs == sorted(objs, reverse=True), (mode, objs)
+        assert history[-1]["objective_mode"] == mode
+        # the drift assert inside balanced_partition already compared the
+        # incremental objective to exact_objective(mode); double-check
+        # the recomputed value landed in history.
+        assert "objective_recomputed" in history[-1]
+        hist_by_mode[mode] = history
+
+    # parity relation at round 0 (identical seed assignment across
+    # modes): obj_comm2x = obj_default + cut
+    h0d = hist_by_mode["default"][0]
+    h0c = hist_by_mode["comm2x"][0]
+    assert abs(h0c["objective"] - (h0d["objective"] + h0d["cut"])) < 1e-9
+    # pipelined adds lam * B * max^2 on top of default at round 0
+    und = symmetrize(edges)
+    a, _ = balanced_partition(spark, edges, k=4, max_rounds=0)
+    for mode in OBJECTIVE_MODES:
+        obj, cut, ssq = exact_objective(und, a, 0.05, mode, pipeline_batch=8)
+        assert obj >= cut >= 0
+
+    with pytest.raises(ValueError):
+        balanced_partition(spark, edges, k=4, objective_mode="nope")
