@@ -112,24 +112,46 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH ----------------------------------------------------------
 
+def _perm_hash(i: int, seed: int, hash_family: str) -> F.Column:
+    """Permutation-i hash of the ``shingle`` column.
+
+    * "xxhash64" (default): xxhash64(shingle, seed+i) — fastest, JVM-only.
+    * "md5": first 60 bits of md5(f"{seed+i}:{shingle}") as a long —
+      bit-reproducible in ANSI SQL engines (DuckDB:
+      CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)), which is what
+      makes the driver's minhash oracle exactly checkable.
+    """
+    if hash_family == "xxhash64":
+        return F.xxhash64(F.col("shingle"), F.lit(seed + i))
+    if hash_family == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed + i}:"), F.col("shingle"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 32, n: int = 3, seed: int = 42,
     id_col: str = "doc_id", text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, pos, minhash) — k-permutation MinHash over word n-grams.
 
-    Permutation i = xxhash64(shingle, seed+i) — k independent JVM-side
-    hashes (affine-over-one-base families mix too weakly: a single
-    unlucky global-min shingle correlates every position). The k hashes
-    are emitted as one array column and pos-exploded, so the min per
-    (doc, pos) is a single map-side-combined aggregation — no per-row
-    Python, shards at any scale. A numpy applyInPandas kernel is the
-    documented fast path if k grows large.
+    Permutation i = hash_i(shingle) — k independent JVM-side hashes
+    (affine-over-one-base families mix too weakly: a single unlucky
+    global-min shingle correlates every position); see ``_perm_hash``
+    for the families. The k hashes are emitted as one array column and
+    pos-exploded, so the min per (doc, pos) is a single
+    map-side-combined aggregation — no per-row Python, shards at any
+    scale. A numpy applyInPandas kernel is the documented fast path if
+    k grows large.
     """
     sh = shingles(docs, n, id_col, text_col)
-    hashes = F.array(
-        *[F.xxhash64(F.col("shingle"), F.lit(seed + i)) for i in range(k)]
-    )
+    hashes = F.array(*[_perm_hash(i, seed, hash_family) for i in range(k)])
     exploded = sh.select("doc_id", F.posexplode(hashes).alias("pos", "h"))
     return exploded.groupBy("doc_id", "pos").agg(F.min("h").alias("minhash"))
 
@@ -137,6 +159,7 @@ def minhash_signatures(
 def minhash_lsh_candidates(
     docs: DataFrame, k: int = 32, bands: int = 8, n: int = 3, seed: int = 42,
     id_col: str = "doc_id", text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs: band the k-row signature into ``bands`` bands
     of k/bands rows; docs sharing any band bucket become candidates.
@@ -144,7 +167,7 @@ def minhash_lsh_candidates(
 
     shingle→minhash→band→bucket-join: every stage is a keyed shuffle."""
     r = k // bands
-    sig = minhash_signatures(docs, k, n, seed, id_col, text_col)
+    sig = minhash_signatures(docs, k, n, seed, id_col, text_col, hash_family)
     banded = (
         sig.withColumn("band", (F.col("pos") / r).cast("int"))
         .groupBy("doc_id", "band")
@@ -167,10 +190,11 @@ def minhash_lsh_candidates(
 def minhash_near_duplicates(
     docs: DataFrame, threshold: float = 0.7, k: int = 32, bands: int = 8,
     n: int = 3, seed: int = 42, id_col: str = "doc_id", text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidates verified by exact n-gram Jaccard ≥ threshold.
     Returns (doc_a, doc_b, jaccard)."""
-    cands = minhash_lsh_candidates(docs, k, bands, n, seed, id_col, text_col)
+    cands = minhash_lsh_candidates(docs, k, bands, n, seed, id_col, text_col, hash_family)
     sh = shingles(docs, n, id_col, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -193,38 +217,52 @@ def minhash_near_duplicates(
 
 # --- SimHash ----------------------------------------------------------------
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document, entirely in JVM expressions:
-    tokens → xxhash64 → per-bit ±count aggregation (64 aggregates in one
-    shuffle with map-side combine) → sign-bit reassembly.
-    Returns (doc_id, simhash long)."""
+def _simhash_nbits(hash_family: str) -> int:
+    # md5 family yields 60-bit hashes (15 hex chars), xxhash64 full 64
+    return 64 if hash_family == "xxhash64" else 60
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            hash_family: str = "xxhash64") -> DataFrame:
+    """SimHash per document, entirely in JVM expressions:
+    tokens → hash → per-bit ±count aggregation (one shuffle with
+    map-side combine) → sign-bit reassembly. Returns (doc_id, simhash
+    long). ``hash_family``: "xxhash64" (64-bit, default) or "md5"
+    (60-bit, bit-reproducible in ANSI SQL — the oracle-checkable
+    family, cf. _perm_hash)."""
+    nbits = _simhash_nbits(hash_family)
+    if hash_family == "xxhash64":
+        h = F.xxhash64("tok")
+    else:
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(text_col)).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     bits = toks.groupBy("doc_id").agg(*aggs)
     sim = None
-    for i in range(64):
+    for i in range(nbits):
         term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return bits.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
-                            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                            id_col: str = "doc_id", text_col: str = "text",
+                            hash_family: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found via the
-    standard block trick: split 64 bits into (max_hamming+1) blocks —
+    standard block trick: split the bits into (max_hamming+1) blocks —
     any pair within distance shares at least one exact block; join on
     (block_idx, block_value), verify with bit_count(xor)."""
     nblocks = max_hamming + 1
-    width = 64 // nblocks
-    sh = simhash(docs, id_col, text_col)
+    width = _simhash_nbits(hash_family) // nblocks
+    sh = simhash(docs, id_col, text_col, hash_family)
     blocks = sh.select(
         "doc_id",
         "simhash",

@@ -33,7 +33,13 @@ from .operators.partitioner import balanced_partition
 from .operators.similarity import brute_force_topk
 from .operators.triangles import triangle_count
 from .sources.corpus import synthesize_corpus
-from .sources.fk_graphs import PART_OFFSET, co_supplier_edges, supplier_part_edges
+from .sources.fk_graphs import (
+    ORDER_OFFSET,
+    PART_OFFSET,
+    co_supplier_edges,
+    order_chain_edges,
+    supplier_part_edges,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -321,6 +327,52 @@ SELECT p_partkey FROM part
 WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
 ORDER BY p_partkey
 """
+
+
+def q_longest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path DP (reference graph.py:32-58, the main-chain DP) on
+    the customer→order-chain DAG (depth = max orders per customer, so
+    the iterative relaxation runs ~25 supersteps at sf0.01). Oracle =
+    the identical relaxation hand-unrolled to fixed depth in SQL."""
+    from .operators.dag import longest_path_lengths
+
+    e = order_chain_edges(spark, sf_dir)
+    dist = longest_path_lengths(spark, e)
+    return dist.select("id", F.col("dist").cast("long").alias("dist")).orderBy("id")
+
+
+def _longest_path_sql(steps: int) -> str:
+    """Fixed-depth unrolled relaxation: d_i(v) = max(d_{i-1}(v),
+    1 + max over in-neighbors d_{i-1}(u)). ``steps`` must exceed the
+    DAG depth (25 at sf0.01; 32 leaves margin). Every CTE is
+    MATERIALIZED: DuckDB inlines CTEs by default, and d_i referencing
+    d_{i-1} twice would otherwise expand 2^steps."""
+    pre = f"""
+WITH r AS MATERIALIZED (SELECT o_custkey, o_orderkey,
+        row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS rn,
+        lead(o_orderkey) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS nk
+        FROM orders),
+edges AS MATERIALIZED (SELECT o_custkey AS src_id, o_orderkey + {ORDER_OFFSET} AS dst_id
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT o_orderkey + {ORDER_OFFSET}, nk + {ORDER_OFFSET}
+          FROM r WHERE nk IS NOT NULL),
+verts AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges
+                                   UNION ALL SELECT dst_id FROM edges)),
+d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM verts)"""
+    body = ""
+    for i in range(1, steps + 1):
+        p = i - 1
+        body += f""",
+c{i} AS MATERIALIZED (SELECT e.dst_id AS id, max(d.dist) + 1 AS cand
+        FROM edges e JOIN d{p} d ON d.id = e.src_id GROUP BY 1),
+d{i} AS MATERIALIZED (SELECT d.id,
+               CAST(greatest(d.dist, coalesce(c.cand, d.dist)) AS BIGINT) AS dist
+        FROM d{p} d LEFT JOIN c{i} c USING (id))"""
+    return pre + body + f"\nSELECT id, dist FROM d{steps} ORDER BY id"
+
 
 
 # --------------------------------------------------------------------------
@@ -792,17 +844,107 @@ def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dups with the md5 permutation family, which is
+    bit-reproducible in DuckDB — so the full shingle→signature→band→
+    candidate→exact-jaccard pipeline is oracle-checkable (the engine
+    default stays xxhash64; only the hash family differs)."""
     d = _read(spark, sf_dir, "documents")
     return (
-        minhash_near_duplicates(d, threshold=0.4, k=32, bands=16)
+        minhash_near_duplicates(d, threshold=0.4, k=32, bands=16,
+                                hash_family="md5")
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
 
+# Bit-exact replica of the md5 permutation family: permutation i of a
+# shingle = first 60 bits of md5("{42+i}:{shingle}"). Bands of r=2
+# signature rows are compared by VALUE (string_agg), not by the engine's
+# bucket hash — equal buckets iff equal band signatures (modulo a
+# ~2^-64 xxhash64 bucket collision, which exact-jaccard verification
+# would have to also pass to differ). Every CTE is MATERIALIZED (DuckDB
+# inlines by default; the signature CTE is referenced twice).
+_ORACLE_MINHASH = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM toks WHERE len(t) >= 3),
+mh AS MATERIALIZED (
+  SELECT doc_id, g.i AS pos,
+         min(CAST(('0x' || substr(md5(CAST(42 + g.i AS VARCHAR) || ':' || shingle),
+                                  1, 15)) AS BIGINT)) AS minhash
+  FROM sh CROSS JOIN generate_series(0, 31) g(i)
+  GROUP BY 1, 2),
+banded AS MATERIALIZED (
+  SELECT doc_id, pos // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY pos) AS sig
+  FROM mh GROUP BY 1, 2),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups with the md5 hash family (60-bit,
+    bit-reproducible in DuckDB) so the whole token→simhash→block-join→
+    hamming pipeline is oracle-checkable; the engine default stays
+    xxhash64/64-bit."""
     d = _read(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, max_hamming=6).orderBy("doc_a", "doc_b")
+    return simhash_near_duplicates(
+        d, max_hamming=6, hash_family="md5"
+    ).orderBy("doc_a", "doc_b")
+
+
+# Bit-exact replica of simhash(hash_family="md5"): token hash = first 60
+# bits of md5(token); per-bit +-counts; sign reassembly; 7 blocks of 8
+# bits (pigeonhole: <=6 differing bits leave >=1 block untouched, and
+# differences in the 4 uncovered top bits only reduce touched blocks).
+_ORACLE_SIMHASH = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+h AS MATERIALIZED (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+bits AS MATERIALIZED (
+  SELECT doc_id, g.b,
+         sum(CASE WHEN ((h >> g.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN generate_series(0, 59) g(b) GROUP BY 1, 2),
+sim AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bits GROUP BY 1),
+blk AS MATERIALIZED (
+  SELECT doc_id, simhash, g.i AS blk, (simhash >> (g.i * 8)) & 255 AS blk_val
+  FROM sim CROSS JOIN generate_series(0, 6) g(i)),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM blk a JOIN blk b
+    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 6
+ORDER BY doc_a, doc_b
+"""
 
 
 def q_balanced_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -841,6 +983,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "triangle_count": (q_triangle_count, _ORACLE_TRIANGLES),
     "graph_contraction": (q_graph_contraction, _ORACLE_CONTRACTION),
     "frontier_indegree0": (q_frontier_indegree0, _ORACLE_FRONTIER),
+    "longest_path": (q_longest_path, _longest_path_sql(32)),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),
@@ -864,8 +1007,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "lang_id_counts": (q_lang_id_counts, _ORACLE_LANG_ID),
     # rows-only (non-SQL-expressible)
     "pagerank_converged": (q_pagerank_converged, None),
-    "minhash_near_dups": (q_minhash_near_dups, None),
-    "simhash_near_dups": (q_simhash_near_dups, None),
+    "minhash_near_dups": (q_minhash_near_dups, _ORACLE_MINHASH),
+    "simhash_near_dups": (q_simhash_near_dups, _ORACLE_SIMHASH),
     "balanced_partition": (q_balanced_partition, None),
     "corpus_pipeline": (q_corpus_pipeline, None),
 }

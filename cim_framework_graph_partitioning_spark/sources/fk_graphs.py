@@ -40,3 +40,34 @@ def co_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("weight", F.lit(1.0))
     )
+
+
+ORDER_OFFSET = 10_000_000
+
+
+def order_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-chain DAG: customer → its first order (by
+    o_orderdate, ties by o_orderkey), then order r → order r+1. A
+    forest of paths whose depth = max orders per customer (25 at
+    sf0.01), so the longest-path DP genuinely runs that many
+    relaxation supersteps. Order ids are offset above the custkey
+    range."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+    first = r.filter(F.col("rn") == 1).select(
+        F.col("o_custkey").alias("src_id"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst_id"),
+    )
+    nxt = r.filter(F.col("next_key").isNotNull()).select(
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("src_id"),
+        (F.col("next_key") + ORDER_OFFSET).alias("dst_id"),
+    )
+    return first.unionByName(nxt).withColumn("weight", F.lit(1.0))
