@@ -125,11 +125,36 @@ def longest_path_lengths(
     return dist
 
 
-def critical_path(spark: SparkSession, edges: DataFrame) -> list[int]:
+def _assert_contracted_size(edges: DataFrame, max_vertices: int, op: str) -> None:
+    """critical_path/chain_decomposition are documented CONTRACTED-graph
+    operators (the reference's run on anchor graphs of tens of vertices,
+    graph.py:157-207): their driver loops collect one row per path hop.
+    Enforce the contract mechanically instead of by docstring promise."""
+    n = (
+        edges.select(F.col("src_id").alias("id"))
+        .unionByName(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+        .limit(max_vertices + 1)
+        .count()
+    )
+    if n > max_vertices:
+        raise ValueError(
+            f"{op} is a contracted-graph operator (driver loop per path "
+            f"hop): input has > {max_vertices} vertices; contract the "
+            f"graph first (graph_contraction / labelprop) or raise "
+            f"max_vertices explicitly"
+        )
+
+
+def critical_path(
+    spark: SparkSession, edges: DataFrame, max_vertices: int = 100_000
+) -> list[int]:
     """The reference's 'main chain' (graph.py:47-58): backtrack the
     argmax of the longest-path DP. The path itself is at most
     O(longest-path) vertices — driver-sized — while every DP pass is
-    distributed."""
+    distributed. Refuses inputs above ``max_vertices`` (see
+    _assert_contracted_size)."""
+    _assert_contracted_size(edges, max_vertices, "critical_path")
     dist = longest_path_lengths(spark, edges).persist()
     e = edges.select("src_id", "dst_id").distinct().persist()
     # deterministic argmax: max dist, then min id
@@ -157,11 +182,14 @@ def critical_path(spark: SparkSession, edges: DataFrame) -> list[int]:
 
 
 def chain_decomposition(spark: SparkSession, edges: DataFrame,
-                        max_chains: int = 10_000) -> list[list[int]]:
+                        max_chains: int = 10_000,
+                        max_vertices: int = 100_000) -> list[list[int]]:
     """Greedy longest-chain peel (reference graph.py:157-207): repeat —
     find the longest path in the remaining DAG, emit it, remove its
     vertices. Driver loop over distributed passes; intended for
-    CONTRACTED (anchor-level) graphs, which are small by construction."""
+    CONTRACTED (anchor-level) graphs — enforced by ``max_vertices``
+    (see _assert_contracted_size)."""
+    _assert_contracted_size(edges, max_vertices, "chain_decomposition")
     remaining = edges.select("src_id", "dst_id").distinct().persist()
     vert_count = (
         remaining.select(F.col("src_id").alias("id"))
@@ -174,7 +202,7 @@ def chain_decomposition(spark: SparkSession, edges: DataFrame,
     seen = 0
     while seen < vert_count and len(chains) < max_chains:
         if remaining.take(1):
-            chain = critical_path(spark, remaining)
+            chain = critical_path(spark, remaining, max_vertices)
         else:
             # isolated leftovers: each its own chain, deterministic order
             left = (

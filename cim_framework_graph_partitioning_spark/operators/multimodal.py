@@ -1,11 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
-batch shapes, mapInPandas UDF signatures. The actual codec step is
-STUBBED (this container has no image/audio libraries): ``decode_image``
-raises ``NotImplementedError`` unless a real decoder is importable, and
-``decode_image_fake`` produces a deterministic fake decode so the
-downstream feature pipeline is exercised end-to-end.
+batch shapes, mapInPandas UDF signatures. The codec layer has one REAL
+end-to-end path and one stub:
+
+* BMP (uncompressed 24-bit BI_RGB) payloads are decoded for real by a
+  pure-numpy parser (``decode_bmp``; round-trippable via ``encode_bmp``)
+  — no external image library needed, golden-pixel tested.
+* every other image/audio format is STUBBED (this container has no
+  codec libraries): with ``allow_fake=False`` the kernel raises
+  ``NotImplementedError``; with the default ``allow_fake=True`` it
+  computes a deterministic fake 'decode' (bucketed byte histogram,
+  numpy-vectorized across the whole Arrow batch) so the downstream
+  feature pipeline is exercised end-to-end.
 
 Media table schema:
     media(media_id long, kind string, payload binary,
@@ -55,45 +62,143 @@ def _have_real_decoder() -> bool:
         return False
 
 
+# --- BMP codec (pure numpy, no external libraries) -------------------------
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BI_RGB BMP (BITMAPINFOHEADER — the
+    overwhelmingly common layout). Returns (height, width, 3) uint8 in
+    BGR channel order, top-down row order. Raises ValueError on any
+    other BMP variant or a truncated/non-BMP payload."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header (pre-BITMAPINFOHEADER)")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if planes != 1 or bpp != 24 or compression != 0 or width <= 0:
+        raise ValueError(f"unsupported BMP variant bpp={bpp} comp={compression}")
+    bottom_up = height > 0
+    h = abs(height)
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(payload) < data_off + row_stride * h:
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(payload, np.uint8, row_stride * h, data_off)
+    img = rows.reshape(h, row_stride)[:, : width * 3].reshape(h, width, 3)
+    return img[::-1] if bottom_up else img
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 BGR pixels as a bottom-up 24-bit BI_RGB
+    BMP — the exact inverse of ``decode_bmp`` (round-trip tested)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    assert c == 3, "expect BGR channels"
+    row_stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_stride), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1].reshape(h, w * 3)  # bottom-up
+    data = body.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def _bmp_features(img: np.ndarray) -> np.ndarray:
+    """16-dim feature from decoded pixels: [w, h, mean BGR, std BGR,
+    8-bin normalized gray histogram]."""
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3).astype("float64")
+    gray = flat.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 256.0))
+    hist = hist / max(1, gray.size)
+    return np.concatenate(
+        ([float(w), float(h)], flat.mean(axis=0), flat.std(axis=0), hist)
+    )
+
+
+def _fake_features(payloads: list[bytes]) -> np.ndarray:
+    """Deterministic fake decode for non-BMP payloads, vectorized over
+    the WHOLE batch: feature[j] = L1-normalized sum of bytes at
+    positions ≡ j (mod 16). One bincount over the concatenated flat
+    byte array — no per-payload Python loop."""
+    lens = np.array([len(p) for p in payloads], dtype="int64")
+    n = len(payloads)
+    out = np.zeros((n, _FEATURE_DIM), dtype="float64")
+    total = int(lens.sum())
+    if total:
+        flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        offsets = np.repeat(np.cumsum(lens) - lens, lens)
+        item = np.repeat(np.arange(n, dtype="int64"), lens)
+        bucket = (np.arange(total, dtype="int64") - offsets) % _FEATURE_DIM
+        sums = np.bincount(
+            item * _FEATURE_DIM + bucket, weights=flat,
+            minlength=n * _FEATURE_DIM,
+        ).reshape(n, _FEATURE_DIM)
+        norms = sums.sum(axis=1, keepdims=True)
+        np.divide(sums, norms, out=out, where=norms > 0)
+    return out
+
+
 def decode_and_featurize(media: DataFrame, allow_fake: bool = True) -> DataFrame:
     """mapInPandas pipeline: binary payload → fixed-dim feature vector.
 
     Batch shape: each Arrow batch is a pandas DataFrame with a
-    ``payload`` column of bytes objects; the kernel is fully numpy
-    (frombuffer + reshaped reductions). With a real codec installed the
-    same signature decodes actual pixels; without one it either raises
-    (allow_fake=False) or computes a deterministic fake 'decode' from
-    the raw bytes so shapes/partitioning are exercised.
+    ``payload`` column of bytes objects. BMP payloads (magic "BM") take
+    the REAL decode path — pure-numpy 24-bit pixel parsing via
+    ``decode_bmp`` → width/height/channel-stat/histogram features.
+    Everything else is the stub: raise with ``allow_fake=False``, else
+    a deterministic fake feature computed batch-vectorized (one
+    bincount over the concatenated bytes, no per-payload loop).
     """
-    real = _have_real_decoder()
-    if not real and not allow_fake:
-        raise NotImplementedError(
-            "no image/audio codec available in this environment; "
-            "install Pillow or pass allow_fake=True"
-        )
+    real_other = _have_real_decoder()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, nbytes = [], []
-            for payload in pdf["payload"]:
-                buf = np.frombuffer(payload or b"", dtype=np.uint8)
-                nbytes.append(len(buf))
-                if len(buf) == 0:
-                    feats.append(np.zeros(_FEATURE_DIM))
-                    continue
-                # deterministic fake decode: bucketed byte histogram,
-                # L1-normalized — stands in for pixel/spectral features.
-                pad = (-len(buf)) % _FEATURE_DIM
-                arr = np.pad(buf, (0, pad)).reshape(-1, _FEATURE_DIM)
-                f = arr.sum(axis=0).astype("float64")
-                s = f.sum()
-                feats.append(f / s if s else f)
+            payloads = [p or b"" for p in pdf["payload"]]
+            nbytes = np.array([len(p) for p in payloads], dtype="int64")
+            is_bmp = np.array(
+                [p[:2] == b"BM" and len(p) >= 54 for p in payloads], dtype=bool
+            )
+            if not allow_fake and not real_other and not is_bmp.all():
+                raise NotImplementedError(
+                    "non-BMP payload and no image/audio codec available; "
+                    "install Pillow or pass allow_fake=True"
+                )
+            fake = _fake_features([
+                p for p, b in zip(payloads, is_bmp) if not b
+            ])
+            feats: list[np.ndarray] = []
+            fi = 0
+            for p, b in zip(payloads, is_bmp):
+                if b:
+                    feats.append(_bmp_features(decode_bmp(p)))  # real path
+                else:
+                    feats.append(fake[fi])
+                    fi += 1
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "feature": feats,
-                    "n_bytes": np.array(nbytes, dtype="int64"),
+                    "n_bytes": nbytes,
                 }
             )
 

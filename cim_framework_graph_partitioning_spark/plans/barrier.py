@@ -61,7 +61,7 @@ def release_checkpoint(df: DataFrame | None) -> None:
         while it.hasNext():
             leaf = it.next()
             if leaf.getClass().getSimpleName() == "LogicalRDD":
-                leaf.rdd().unpersist(False)
+                leaf.rdd().unpersist(False)  # allow-jvm-handle: py4j accessor on the JVM plan leaf, not the Python RDD API
     except Exception:
         pass  # non-checkpointed frame or internal API drift — harmless
 

@@ -66,3 +66,28 @@ def test_normalize_corpus(spark):
     out = normalize_corpus(files).collect()
     got = {(r.path, r.commit) for r in out}
     assert got == {("a.py", "c1"), ("c.py", "c1")}
+
+
+def test_contracted_graph_bound_enforced(spark):
+    """critical_path / chain_decomposition refuse inputs above their
+    contracted-graph size bound with a clear error (the documented
+    contract is now mechanical, r2 VERDICT #8)."""
+    import pytest
+
+    from cim_framework_graph_partitioning_spark.operators.dag import (
+        chain_decomposition,
+        critical_path,
+    )
+
+    big = spark.range(600).selectExpr(
+        "id AS src_id", "id + 1 AS dst_id", "1.0 AS weight"
+    )
+    with pytest.raises(ValueError, match="contracted-graph"):
+        critical_path(spark, big, max_vertices=500)
+    with pytest.raises(ValueError, match="contracted-graph"):
+        chain_decomposition(spark, big, max_vertices=500)
+    # at/under the bound still works
+    small = spark.range(5).selectExpr(
+        "id AS src_id", "id + 1 AS dst_id", "1.0 AS weight"
+    )
+    assert critical_path(spark, small, max_vertices=500) == [0, 1, 2, 3, 4, 5]
