@@ -33,6 +33,11 @@ Two execution paths, identical semantics:
   per-block PARTIAL sums per dst — shuffle volume drops from one row
   per edge to one row per (block, distinct dst).
 
+* ``mode="csr_arrow"`` — same dataflow, but the per-superstep kernel is
+  ``applyInArrow`` (RecordBatch-native): the CSR list columns are read
+  as flat Arrow buffers, skipping the pandas object-array
+  materialization the csr path pays per superstep.
+
 Which is faster is MEASURED, not assumed (BENCH/CSR_CROSSOVER.md):
 csr wins ~2x in the mid-regime (~10M edges / 32 threads, skewed
 graphs); dataframe wins ~1.5x in the DRAM-bound regime (32M edges on
@@ -111,7 +116,7 @@ def pagerank(
         return spark.createDataFrame([], "id long, rank double"), 0
 
     norm = _normalized_edges(edges)
-    if mode == "csr":
+    if mode in ("csr", "csr_arrow"):
         # hash-partition the (static, large) block table by its cogroup
         # key ONCE: the per-superstep cogroup then reuses this exchange
         # and only the rank side shuffles — the same static-side rule
@@ -154,6 +159,8 @@ def pagerank(
         _mark("dang_init")
         if mode == "csr":
             sums = _csr_contributions(ranks.select("id", "rank"), blocks, p)
+        elif mode == "csr_arrow":
+            sums = _csr_contributions_arrow(ranks.select("id", "rank"), blocks, p)
         else:
             # shuffle-hash, not sort-merge: the cached edge table must
             # not be re-sorted every superstep (measured 1.8x/step), and
@@ -233,7 +240,7 @@ def pagerank(
     if metrics_sink is not None:
         metrics_sink.extend(runner.history)
     verts.unpersist()
-    (blocks if mode == "csr" else norm).unpersist()
+    (blocks if mode in ("csr", "csr_arrow") else norm).unpersist()
     return ranks.select("id", "rank"), steps
 
 
@@ -323,5 +330,55 @@ def _csr_contributions(ranks: DataFrame, blocks: DataFrame, p: int) -> DataFrame
         ranks_b.groupBy("block")
         .cogroup(blocks.groupBy("block"))
         .applyInPandas(kernel, "dst_id long, s double")
+    )
+    return partial.groupBy("dst_id").agg(F.sum("s").alias("s"))
+
+
+def _csr_contributions_arrow(ranks: DataFrame, blocks: DataFrame, p: int) -> DataFrame:
+    """Arrow-native CSR kernel: cogroup(...).applyInArrow consumes the
+    RecordBatches directly (no pandas materialization of the list
+    columns — the hop BENCH/CSR_CROSSOVER.md measured as the csr path's
+    cost in the DRAM-bound regime). List columns are flattened ONCE per
+    call via ListArray.values/offsets; all math runs on the flat numpy
+    views."""
+    import pyarrow as pa
+
+    empty = pa.schema([("dst_id", pa.int64()), ("s", pa.float64())])
+
+    def kernel(key, rank_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
+        if rank_tbl.num_rows == 0 or block_tbl.num_rows == 0:
+            return empty.empty_table()
+        rid = rank_tbl.column("id").to_numpy()
+        rv = rank_tbl.column("rank").to_numpy()
+        order = np.argsort(rid, kind="mergesort")
+        rid_s, rv_s = rid[order], rv[order]
+
+        def flat(col):
+            c = block_tbl.column(col).combine_chunks()
+            return c.values.to_numpy(zero_copy_only=False), c.offsets.to_numpy()
+
+        src_v, src_o = flat("src_ids")
+        ind_v, ind_o = flat("indptr")
+        dst_v, _ = flat("dst_ids")
+        frac_v, _ = flat("frac")
+        # per-src edge counts: within each slice row, diff(indptr); the
+        # concatenation order of src/dst/frac values matches row order,
+        # so per-edge expansion can run on the flat arrays in one pass.
+        counts = np.diff(ind_v)
+        keep = np.ones(len(counts), dtype=bool)
+        keep[ind_o[1:-1] - 1] = False  # drop the seams between rows
+        counts = counts[keep]
+        pos = np.searchsorted(rid_s, src_v)
+        per_edge = np.repeat(rv_s[pos], counts) * frac_v
+        udst, inv = np.unique(dst_v, return_inverse=True)
+        s = np.bincount(inv, weights=per_edge, minlength=len(udst))
+        return pa.table({"dst_id": pa.array(udst, pa.int64()),
+                         "s": pa.array(s, pa.float64())})
+
+    ranks_b = ranks.withColumn("block", F.pmod(F.xxhash64("id"), F.lit(p)).cast("int"))
+    partial = (
+        ranks_b.groupBy("block")
+        .cogroup(blocks.groupBy("block"))
+        .applyInArrow(kernel, "dst_id long, s double")
     )
     return partial.groupBy("dst_id").agg(F.sum("s").alias("s"))
