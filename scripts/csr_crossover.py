@@ -62,7 +62,7 @@ def main() -> None:
         spark = get_spark(app_name=f"csr-x-{n_files}", master=f"local[{CORES}]",
                           shuffle_partitions=CORES)
         edges = spark.read.parquet(path)
-        for mode in ["dataframe", "csr"]:
+        for mode in os.environ.get("CSR_MODES", "dataframe,csr,csr_arrow").split(","):
             r = run_mode(spark, edges, mode)
             r["n_files"] = n_files
             results.append(r)
