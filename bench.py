@@ -19,7 +19,7 @@ PageRank paths are published in "extra" (warm-up vs steady state).
 
 The north-star metric (BASELINE.md) — PageRank edges/sec to 1e-6 on the
 corpus-derived edge table — is reported in "extra" alongside supersteps
-and edge counts; scaling-efficiency evidence (local[2] vs local[8]) is
+and edge counts; scaling-efficiency evidence (local[1] vs local[4]) is
 produced by scripts/scaling_bench.py and recorded in BENCH/BASELINE.md.
 """
 
