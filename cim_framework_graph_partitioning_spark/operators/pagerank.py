@@ -372,8 +372,16 @@ def _csr_contributions_arrow(ranks: DataFrame, blocks: DataFrame, p: int) -> Dat
         per_edge = np.repeat(rv_s[pos], counts) * frac_v
         udst, inv = np.unique(dst_v, return_inverse=True)
         s = np.bincount(inv, weights=per_edge, minlength=len(udst))
-        return pa.table({"dst_id": pa.array(udst, pa.int64()),
-                         "s": pa.array(s, pa.float64())})
+        out = pa.table({"dst_id": pa.array(udst, pa.int64()),
+                        "s": pa.array(s, pa.float64())})
+        # Reused python workers accumulate RSS across supersteps: the
+        # Arrow memory pool RETAINS the per-call list-column copies
+        # (measured: per-step time grew 8.5 -> 141.8s within one 32M-edge
+        # run; spark.python.worker.reuse=false made it stable). Hand the
+        # freed buffers back to the OS before returning.
+        del src_v, ind_v, dst_v, frac_v, per_edge, counts, pos, inv
+        pa.default_memory_pool().release_unused()
+        return out
 
     ranks_b = ranks.withColumn("block", F.pmod(F.xxhash64("id"), F.lit(p)).cast("int"))
     partial = (
