@@ -213,3 +213,72 @@ def numpy_topk(
     partial = c.mapInPandas(kernel, "query_id long, neighbor_id long, cos double")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    LSH: a KMeans codebook over the corpus assigns every vector to its
+    nearest of ``n_cells`` centroid cells (one fit + one transform);
+    each query probes only its ``n_probe`` nearest cells, so the scored
+    join touches ~n_probe/n_cells of the corpus instead of all of it,
+    via a plain equi-join on cell id. ``n_probe == n_cells`` degrades
+    to exact brute force over a partitioned corpus (tested property).
+    Returns (query_id, neighbor_id, cos, rank).
+
+    Scale shape: the codebook is tiny (n_cells × dim) and rides a
+    broadcast; corpus assignment is one ML transform (no shuffle beyond
+    the fit); the probe join shuffles on cell id with per-cell fan-out
+    bounded by cell population — the standard IVF sharding."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    feat = c.withColumn("_fv", array_to_vector("cv"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell").fit(feat)
+    assigned = model.transform(feat).select("neighbor_id", "cv", "cell")
+
+    centers = [
+        (int(i), [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(centers, "cell int, centroid array<double>")
+
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    # squared L2 distance to every centroid (n_cells rows per query — a
+    # broadcast fan-out of a tiny table), keep the n_probe nearest cells
+    d2 = F.aggregate(
+        F.zip_with("qv", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(w_cell))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -947,6 +947,21 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN (KMeans coarse quantizer, probe 2 of 4 cells) top-5 for
+    the first 5 vectors. Rows-only: the codebook is an ML fit, not
+    SQL-reproducible; exactness when probing ALL cells and recall under
+    partial probing are verified in tests (test_ivf_topk_*)."""
+    from .operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(q, emb, k=5, n_cells=4, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 def q_balanced_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = co_supplier_edges(spark, sf_dir)
     assignment, _ = balanced_partition(spark, e, k=4, max_rounds=10)
@@ -1009,6 +1024,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank_converged": (q_pagerank_converged, None),
     "minhash_near_dups": (q_minhash_near_dups, _ORACLE_MINHASH),
     "simhash_near_dups": (q_simhash_near_dups, _ORACLE_SIMHASH),
+    "embedding_ivf_topk": (q_embedding_ivf_topk, None),
     "balanced_partition": (q_balanced_partition, None),
     "corpus_pipeline": (q_corpus_pipeline, None),
 }

@@ -233,3 +233,46 @@ def test_doc_fingerprint_matches_scalar_oracle(spark):
     for i, t in enumerate(texts):
         assert got[i] == oracle(t), (i, t[:20])
     assert got[0] == got[2] and got[0] != got[3]
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark):
+    """IVF with n_probe == n_cells partitions the corpus without loss:
+    results must equal brute force EXACTLY (ids, ranks, cosines)."""
+    from cim_framework_graph_partitioning_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cos, 9))
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cos, 9))
+        for r in ivf_topk(q, emb, k=5, n_cells=4, n_probe=4).collect()
+    }
+    assert got == want
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    """Probing 2 of 8 cells must keep useful recall@5 vs brute force
+    (the IVF tradeoff) and never return a neighbor that brute force
+    scores higher than the true top-1 miss bound."""
+    from cim_framework_graph_partitioning_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    truth = {}
+    for r in brute_force_topk(q, emb, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in ivf_topk(q, emb, k=5, n_cells=8, n_probe=2).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[qid] & got.get(qid, set())) for qid in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.4, f"recall@5 {hits}/{total}"
