@@ -155,6 +155,14 @@ def critical_path(
     distributed. Refuses inputs above ``max_vertices`` (see
     _assert_contracted_size)."""
     _assert_contracted_size(edges, max_vertices, "critical_path")
+    return _critical_path_unchecked(spark, edges)
+
+
+def _critical_path_unchecked(spark: SparkSession, edges: DataFrame) -> list[int]:
+    """critical_path minus the contracted-size assert, for callers that
+    already validated the graph at entry (chain_decomposition peels
+    shrink monotonically, so re-checking per emitted chain would add
+    one distributed distinct+limit+count job per chain for nothing)."""
     dist = longest_path_lengths(spark, edges).persist()
     e = edges.select("src_id", "dst_id").distinct().persist()
     # deterministic argmax: max dist, then min id
@@ -202,7 +210,7 @@ def chain_decomposition(spark: SparkSession, edges: DataFrame,
     seen = 0
     while seen < vert_count and len(chains) < max_chains:
         if remaining.take(1):
-            chain = critical_path(spark, remaining, max_vertices)
+            chain = _critical_path_unchecked(spark, remaining)
         else:
             # isolated leftovers: each its own chain, deterministic order
             left = (

@@ -1,18 +1,26 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
-batch shapes, mapInPandas UDF signatures. The codec layer has one REAL
-end-to-end path and one stub:
+batch shapes, mapInPandas UDF signatures. The codec layer has two REAL
+end-to-end paths and one stub:
 
 * BMP (uncompressed 24-bit BI_RGB) payloads are decoded for real by a
   pure-numpy parser (``decode_bmp``; round-trippable via ``encode_bmp``)
   — no external image library needed, golden-pixel tested.
+* WAV (RIFF/PCM, 8- or 16-bit) payloads are decoded for real by a
+  pure-python chunk parser (``decode_wav``; round-trippable via
+  ``encode_wav``) — duration / RMS / zero-crossing / amplitude-histogram
+  features, golden-sample tested.
 * every other image/audio format is STUBBED (this container has no
   codec libraries): with ``allow_fake=False`` the kernel raises
   ``NotImplementedError``; with the default ``allow_fake=True`` it
   computes a deterministic fake 'decode' (bucketed byte histogram,
   numpy-vectorized across the whole Arrow batch) so the downstream
   feature pipeline is exercised end-to-end.
+
+Dispatch is by DECODABILITY, not magic bytes: a payload that merely
+starts with "BM"/"RIFF" but fails to parse falls back to the fake path
+(or raises under ``allow_fake=False``) instead of failing the job.
 
 Media table schema:
     media(media_id long, kind string, payload binary,
@@ -51,15 +59,6 @@ MEDIA_SCHEMA = T.StructType(
 
 _FEATURE_DIM = 16
 FEATURE_SCHEMA = "media_id long, kind string, feature array<double>, n_bytes long"
-
-
-def _have_real_decoder() -> bool:
-    try:  # pragma: no cover - container has no PIL
-        import PIL.Image  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
 
 
 # --- BMP codec (pure numpy, no external libraries) -------------------------
@@ -134,6 +133,120 @@ def _bmp_features(img: np.ndarray) -> np.ndarray:
     )
 
 
+# --- WAV codec (pure python/numpy, no external libraries) ------------------
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE payload with PCM (format 1) 8- or 16-bit
+    samples — the plain uncompressed layout every tool emits. Returns
+    (samples, sample_rate) where samples is float64 shaped
+    (n_frames, n_channels) normalized to [-1, 1]. Raises ValueError on
+    any other format or a truncated/non-WAV payload."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated WAV data chunk")
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
+        raise ValueError(f"unsupported WAV variant fmt={audio_format} bits={bits}")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+        samples = raw.astype("float64") / 32768.0
+    else:  # 8-bit WAV is unsigned, midpoint 128
+        raw = np.frombuffer(data, dtype=np.uint8)
+        samples = (raw.astype("float64") - 128.0) / 128.0
+    n_frames = samples.size // n_channels
+    return samples[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode (n_frames, n_channels) float64 in [-1, 1] as 16-bit PCM
+    RIFF/WAVE — the inverse of ``decode_wav`` (round-trip tested)."""
+    samples = np.asarray(samples, dtype="float64")
+    if samples.ndim == 1:
+        samples = samples[:, None]  # mono
+    n_frames, n_channels = samples.shape
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    block_align = n_channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def _wav_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+    """16-dim feature from decoded PCM: [sample_rate, n_channels,
+    n_frames, duration_sec, rms, zero-crossing rate, peak, mean,
+    8-bin normalized |amplitude| histogram] — all numpy-vectorized."""
+    n_frames, n_channels = samples.shape
+    mono = samples.mean(axis=1) if n_frames else np.zeros(0)
+    rms = float(np.sqrt(np.mean(mono**2))) if n_frames else 0.0
+    zcr = (
+        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        if n_frames > 1
+        else 0.0
+    )
+    hist, _ = np.histogram(np.abs(mono), bins=8, range=(0.0, 1.0))
+    hist = hist / max(1, mono.size)
+    return np.concatenate(
+        (
+            [
+                float(sample_rate),
+                float(n_channels),
+                float(n_frames),
+                n_frames / sample_rate if sample_rate else 0.0,
+                rms,
+                zcr,
+                float(np.abs(mono).max()) if n_frames else 0.0,
+                float(mono.mean()) if n_frames else 0.0,
+            ],
+            hist,
+        )
+    )
+
+
+def _try_decode(payload: bytes) -> np.ndarray | None:
+    """Attempt every real codec; None means 'no real path decodes this'.
+    Decodability — not magic bytes — decides the route, so a corrupt
+    'BM'/'RIFF' prefix degrades to the fake path instead of failing the
+    whole mapInPandas task."""
+    if payload[:2] == b"BM":
+        try:
+            return _bmp_features(decode_bmp(payload))
+        except ValueError:
+            return None
+    if payload[:4] == b"RIFF":
+        try:
+            return _wav_features(*decode_wav(payload))
+        except ValueError:
+            return None
+    return None
+
+
 def _fake_features(payloads: list[bytes]) -> np.ndarray:
     """Deterministic fake decode for non-BMP payloads, vectorized over
     the WHOLE batch: feature[j] = L1-normalized sum of bytes at
@@ -161,35 +274,37 @@ def decode_and_featurize(media: DataFrame, allow_fake: bool = True) -> DataFrame
     """mapInPandas pipeline: binary payload → fixed-dim feature vector.
 
     Batch shape: each Arrow batch is a pandas DataFrame with a
-    ``payload`` column of bytes objects. BMP payloads (magic "BM") take
-    the REAL decode path — pure-numpy 24-bit pixel parsing via
-    ``decode_bmp`` → width/height/channel-stat/histogram features.
-    Everything else is the stub: raise with ``allow_fake=False``, else
-    a deterministic fake feature computed batch-vectorized (one
-    bincount over the concatenated bytes, no per-payload loop).
+    ``payload`` column of bytes objects. Decodable BMP payloads take the
+    real pure-numpy pixel path, decodable WAV payloads the real RIFF/PCM
+    path (each decode numpy-vectorized internally — the per-payload loop
+    is inherent to variable-length binary and stays out of every
+    registered hot path). Everything else is the stub: raise with
+    ``allow_fake=False`` (an explicit no-fakes request is honored even
+    if an external codec library happens to be importable — no silent
+    fake features, ever), else a deterministic fake feature computed
+    batch-vectorized (one bincount over the concatenated bytes, no
+    per-payload loop).
     """
-    real_other = _have_real_decoder()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [p or b"" for p in pdf["payload"]]
             nbytes = np.array([len(p) for p in payloads], dtype="int64")
-            is_bmp = np.array(
-                [p[:2] == b"BM" and len(p) >= 54 for p in payloads], dtype=bool
-            )
-            if not allow_fake and not real_other and not is_bmp.all():
+            real = [_try_decode(p) for p in payloads]
+            if not allow_fake and any(r is None for r in real):
                 raise NotImplementedError(
-                    "non-BMP payload and no image/audio codec available; "
-                    "install Pillow or pass allow_fake=True"
+                    "payload not decodable by the built-in BMP/WAV codecs "
+                    "and allow_fake=False; pass allow_fake=True for "
+                    "deterministic fake features"
                 )
             fake = _fake_features([
-                p for p, b in zip(payloads, is_bmp) if not b
+                p for p, r in zip(payloads, real) if r is None
             ])
             feats: list[np.ndarray] = []
             fi = 0
-            for p, b in zip(payloads, is_bmp):
-                if b:
-                    feats.append(_bmp_features(decode_bmp(p)))  # real path
+            for r in real:
+                if r is not None:
+                    feats.append(r)  # real BMP/WAV path
                 else:
                     feats.append(fake[fi])
                     fi += 1

@@ -102,8 +102,15 @@ def exact_objective(
     lam: float,
     objective_mode: str = "default",
     pipeline_batch: int = 8,
+    k: int | None = None,
 ) -> tuple[float, float, float]:
-    """(objective, edge_cut, sum_sq_load), recomputed distributed."""
+    """(objective, edge_cut, sum_sq_load), recomputed distributed.
+
+    ``k`` pads the loads map with zero-count entries for empty parts so
+    the 'maxload' term (lam * k * max^2) agrees with the incremental
+    loop, which always tracks all k parts — without it an empty part
+    would shift the exact objective by lam*max^2 per missing part and
+    trip the end-of-run drift assert."""
     a_src = assignment.select(F.col("id").alias("src_id"), F.col("part").alias("p_src"))
     a_dst = assignment.select(F.col("id").alias("dst_id"), F.col("part").alias("p_dst"))
     cut = (
@@ -115,6 +122,9 @@ def exact_objective(
         .collect()[0][0]
     )
     loads_map = {r.part: r["count"] for r in assignment.groupBy("part").count().collect()}
+    if k is not None:
+        for part in range(k):
+            loads_map.setdefault(part, 0)
     ssq = float(sum(v * v for v in loads_map.values()))
     obj = _cut_scale(objective_mode) * float(cut) + _load_term(
         loads_map, lam, objective_mode, pipeline_batch
@@ -172,7 +182,7 @@ def balanced_partition(
     )
 
     best_obj, cut, ssq = exact_objective(
-        und, best, lam, objective_mode, pipeline_batch
+        und, best, lam, objective_mode, pipeline_batch, k=k
     )
     loads_map = {
         r.part: r["count"] for r in best.groupBy("part").count().collect()
@@ -339,7 +349,7 @@ def balanced_partition(
 
     # drift check: incremental bookkeeping must match a full recompute
     final_obj, final_cut, final_ssq = exact_objective(
-        und, best, lam, objective_mode, pipeline_batch
+        und, best, lam, objective_mode, pipeline_batch, k=k
     )
     history[-1]["objective_recomputed"] = final_obj
     assert abs(final_obj - best_obj) < 1e-6 * max(1.0, abs(final_obj)), (

@@ -113,3 +113,87 @@ def test_real_bmp_decode_end_to_end(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|non-BMP"):
         decode_and_featurize(media.unionByName(bad), allow_fake=False).collect()
+
+def test_wav_roundtrip_and_golden_samples():
+    """Pure-python WAV codec: encode a known PCM signal, decode the REAL
+    RIFF byte-stream back, compare to quantization error; golden
+    features (sample_rate, channels, frames, duration, RMS, ZCR)."""
+    import pytest
+
+    from cim_framework_graph_partitioning_spark.operators.multimodal import (
+        _wav_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(1600) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440.0 * t)  # 100 ms of A440 at 16 kHz
+    payload = encode_wav(sig, 16000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    out, sr = decode_wav(payload)
+    assert sr == 16000 and out.shape == (1600, 1)
+    assert np.abs(out[:, 0] - sig).max() < 1.0 / 32767  # 16-bit quantization
+
+    feats = _wav_features(out, sr)
+    assert feats[0] == 16000.0 and feats[1] == 1.0 and feats[2] == 1600.0
+    assert abs(feats[3] - 0.1) < 1e-12  # duration
+    assert abs(feats[4] - 0.5 / np.sqrt(2)) < 1e-3  # RMS of a 0.5 sine
+    # 440 Hz at 16 kHz: 2 crossings/period * 440 * 0.1 s / 1600 samples
+    assert abs(feats[5] - 2 * 440 * 0.1 / 1600) < 5e-3
+
+    # stereo survives the round trip with channels intact
+    stereo = np.stack([sig, -sig], axis=1)
+    out2, _ = decode_wav(encode_wav(stereo, 8000))
+    assert out2.shape == (1600, 2)
+    assert np.abs(out2 - stereo).max() < 1.0 / 32767
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        decode_wav(payload[:30])  # truncated
+
+
+def test_real_wav_decode_end_to_end(spark):
+    """Media rows carrying real WAV payloads flow through
+    decode_and_featurize with allow_fake=False and produce
+    signal-derived features."""
+    from cim_framework_graph_partitioning_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+    )
+
+    rows = []
+    for i in range(4):
+        sig = np.full(800, 0.1 * (i + 1))  # DC signal, known RMS
+        rows.append((i, "audio", bytearray(encode_wav(sig, 8000)),
+                     (None, None, 8000, None)))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: list(r.feature)
+             for r in decode_and_featurize(media, allow_fake=False).collect()}
+    assert len(feats) == 4
+    for i, f in feats.items():
+        assert f[0] == 8000.0 and f[1] == 1.0 and f[2] == 800.0
+        assert abs(f[4] - 0.1 * (i + 1)) < 1e-3  # RMS of a DC signal
+
+
+def test_corrupt_magic_falls_back_to_fake(spark):
+    """A payload that starts 'BM'/'RIFF' but is NOT decodable must take
+    the fake path under allow_fake=True (regression: it used to raise
+    out of the kernel and fail the whole job), and raise under
+    allow_fake=False."""
+    import pytest
+
+    from cim_framework_graph_partitioning_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    rows = [
+        (0, "image", bytearray(b"BM" + b"\x7f" * 100), (None,) * 4),
+        (1, "audio", bytearray(b"RIFF" + b"\x7f" * 100), (None,) * 4),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = decode_and_featurize(media, allow_fake=True).collect()
+    assert len(feats) == 2  # job survives, fake features emitted
+    assert all(abs(sum(r.feature) - 1.0) < 1e-9 for r in feats)
+    with pytest.raises(Exception, match="NotImplementedError|not decodable"):
+        decode_and_featurize(media, allow_fake=False).collect()

@@ -114,3 +114,18 @@ def test_objective_mode_ablations(spark):
 
     with pytest.raises(ValueError):
         balanced_partition(spark, edges, k=4, objective_mode="nope")
+
+def test_maxload_with_empty_part_no_drift(spark):
+    """Regression: with objective_mode='maxload' and k larger than the
+    graph can fill, exact_objective used to drop empty parts from the
+    loads map (groupBy-count has no row for them) while the incremental
+    loop padded all k — a lam*k_missing*max^2 drift that crashed the
+    end-of-run assert. k=8 on a 4-vertex path guarantees empty parts."""
+    edges = _edges_df(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)])
+    # must complete without tripping the built-in drift assert
+    assignment, history = balanced_partition(
+        spark, edges, k=8, max_rounds=4, objective_mode="maxload"
+    )
+    assert assignment.count() == 4
+    objs = [h["objective"] for h in history]
+    assert objs == sorted(objs, reverse=True)
