@@ -61,6 +61,11 @@ from cim_framework_graph_partitioning_spark.sources.corpus import synthesize_cor
 
 CORPUS_FILES = int(os.environ.get("BENCH_CORPUS_FILES", "20000"))
 RUNS_PER_QUERY = int(os.environ.get("BENCH_RUNS", "2"))
+# the two PageRank paths get one extra sample (r3 VERDICT #8): they are
+# the headline metric, and the first sample of the FIRST iterative loop
+# in a session absorbs the 20-95s JVM warm-up — with 3 samples the
+# best-of is robust even if a neighbor spike also lands on sample 2.
+PR_RUNS = int(os.environ.get("BENCH_PR_RUNS", "3"))
 
 
 def main() -> None:
@@ -101,7 +106,7 @@ def main() -> None:
             return steps, [m["superstep_sec"] for m in sink]
         return go
 
-    pr_outs = timed("pagerank_corpus_1e6", pr_run("dataframe"))
+    pr_outs = timed("pagerank_corpus_1e6", pr_run("dataframe"), runs=PR_RUNS)
     best_i = samples["pagerank_corpus_1e6"].index(timings["pagerank_corpus_1e6"])
     steps = pr_outs[best_i][0]
     extra["pagerank_supersteps"] = steps
@@ -109,7 +114,7 @@ def main() -> None:
     extra["pagerank_edges_per_sec"] = round(
         n_edges * steps / timings["pagerank_corpus_1e6"], 1
     )
-    csr_outs = timed("pagerank_corpus_csr", pr_run("csr"))
+    csr_outs = timed("pagerank_corpus_csr", pr_run("csr"), runs=PR_RUNS)
     best_i = samples["pagerank_corpus_csr"].index(timings["pagerank_corpus_csr"])
     extra["pagerank_csr_per_step"] = [out[1] for out in csr_outs]
     extra["pagerank_csr_edges_per_sec"] = round(

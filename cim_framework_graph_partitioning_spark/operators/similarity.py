@@ -124,6 +124,9 @@ def lsh_near_duplicates(
     Returns (id_a, id_b, cos) with id_a < id_b.
     """
     if dim is None:
+        # single-row probe: one narrow job reading one row(-group) —
+        # O(1) in corpus size, so acceptable at any scale; pass ``dim``
+        # to skip the extra job entirely in production pipelines.
         dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes * n_tables, seed)
     v = embeddings.select(
@@ -167,14 +170,27 @@ def numpy_topk(
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k with a numpy-batched kernel: the (small) query matrix
     is broadcast to every corpus partition; each Arrow batch computes a
     dense Q×B cosine block and emits per-batch partial top-k, reduced by
     a final window. Same results as brute_force_topk, far fewer JVM⇄
-    expression ops per element — the vectorized Pandas-UDF path."""
+    expression ops per element — the vectorized Pandas-UDF path.
+
+    The query side is a documented SMALL-SIDE: it is collected to the
+    driver and broadcast, so its size is enforced mechanically via
+    ``max_queries`` (same contract pattern as dag._assert_contracted_
+    size) — above the cap, partition the query set or use lsh_topk/
+    ivf_topk, whose query sides stay distributed."""
     spark = queries.sparkSession
-    qrows = queries.select(q_id, vec_col).collect()
+    qrows = queries.select(q_id, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"numpy_topk broadcasts the query side to every partition: "
+            f"input has > {max_queries} queries; chunk the query set or "
+            f"raise max_queries explicitly"
+        )
     q_ids = np.array([r[0] for r in qrows], dtype="int64")
     q_mat = np.array([r[1] for r in qrows], dtype="float64")
     q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -225,6 +241,7 @@ def ivf_topk(
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN — the coarse-quantizer scale path next to
     LSH: a KMeans codebook over the corpus assigns every vector to its
@@ -236,9 +253,15 @@ def ivf_topk(
     Returns (query_id, neighbor_id, cos, rank).
 
     Scale shape: the codebook is tiny (n_cells × dim) and rides a
-    broadcast; corpus assignment is one ML transform (no shuffle beyond
-    the fit); the probe join shuffles on cell id with per-cell fan-out
-    bounded by cell population — the standard IVF sharding."""
+    broadcast; the KMeans coarse quantizer is fit on a SEEDED BOUNDED
+    SAMPLE of the corpus (``fit_sample_rows``, standard IVF practice —
+    centroid quality converges long before the sample does, and fitting
+    on the full corpus would cost O(N·k·iters) full passes at 100 TB);
+    corpus assignment is one ML transform over everything (no shuffle
+    beyond the fit); the probe join shuffles on cell id with per-cell
+    fan-out bounded by cell population — the standard IVF sharding.
+    Guidance: n_cells ~ sqrt(N) at scale, fit_sample_rows >= 100 ×
+    n_cells."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -247,7 +270,18 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
     feat = c.withColumn("_fv", array_to_vector("cv"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell").fit(feat)
+    # sampled-fit contract: deterministic given (seed, corpus). One
+    # count() pass sizes the sample fraction (the fit itself is
+    # multi-pass, so this is not the dominant cost); below the cap the
+    # sample IS the full corpus, so the exactness tests (probe-all ==
+    # brute force) are unaffected.
+    n_corpus = feat.count()
+    if n_corpus > fit_sample_rows:
+        frac = min(1.0, 1.5 * fit_sample_rows / n_corpus)
+        fit_input = feat.sample(fraction=frac, seed=seed).limit(fit_sample_rows)
+    else:
+        fit_input = feat
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell").fit(fit_input)
     assigned = model.transform(feat).select("neighbor_id", "cv", "cell")
 
     centers = [

@@ -968,6 +968,146 @@ def q_balanced_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignment.orderBy("id")
 
 
+def q_chain_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-chain peel (reference graph.py:157-207, PARITY
+    row 15) on a small slice of the order-chain forest (contracted-
+    graph operator: the driver loop runs one distributed longest-path
+    pass per emitted chain, so the query bounds the instance to a
+    handful of customers — o_custkey % 300 == 1). Returns one row per
+    (chain_id, pos, vertex_id).
+
+    Oracle: on a VERTEX-DISJOINT PATH FOREST the greedy peel has a
+    closed form — the critical path of a disjoint union is the longest
+    component (argmax dist, ties by min end-vertex id, exactly the
+    operator's tie-break), and removing it leaves the others untouched,
+    so by induction chains come out sorted by (length desc, end_id
+    asc), each chain being its whole component walked from the
+    customer. The branching-DAG peel (where no closed form exists) is
+    covered by pytest (test_graph_algorithms chain tests)."""
+    from .operators.dag import chain_decomposition
+
+    # order-chain edges restricted to customers ≡ 1 (mod 300): same
+    # construction as order_chain_edges but filtered at the orders scan
+    # (filtering the full edge table on src_id would orphan other
+    # customers' order→order tails — the component filter must happen
+    # before edges are formed).
+    o = _read(spark, sf_dir, "orders").filter(F.pmod(F.col("o_custkey"), F.lit(300)) == 1)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = o.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+    first = r.filter(F.col("rn") == 1).select(
+        F.col("o_custkey").alias("src_id"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst_id"),
+    )
+    nxt = r.filter(F.col("next_key").isNotNull()).select(
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("src_id"),
+        (F.col("next_key") + ORDER_OFFSET).alias("dst_id"),
+    )
+    e = first.unionByName(nxt).withColumn("weight", F.lit(1.0))
+    chains = chain_decomposition(spark, e)
+    rows = [
+        (int(ci), int(pos), int(v))
+        for ci, chain in enumerate(chains)
+        for pos, v in enumerate(chain)
+    ]
+    return spark.createDataFrame(
+        rows, "chain_id long, pos long, vertex_id long"
+    ).orderBy("chain_id", "pos")
+
+
+_ORACLE_CHAINS = f"""
+WITH r AS MATERIALIZED (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders WHERE o_custkey % 300 = 1),
+ends AS (SELECT o_custkey, o_orderkey + {ORDER_OFFSET} AS end_id
+         FROM r WHERE rn = n_orders),
+ranked AS (
+  SELECT r0.o_custkey,
+         row_number() OVER (ORDER BY r0.n_orders DESC, e.end_id ASC) - 1
+           AS chain_id
+  FROM (SELECT DISTINCT o_custkey, n_orders FROM r) r0
+  JOIN ends e USING (o_custkey)),
+verts AS (
+  SELECT o_custkey, 0 AS pos, CAST(o_custkey AS BIGINT) AS vertex_id
+  FROM (SELECT DISTINCT o_custkey FROM r)
+  UNION ALL
+  SELECT o_custkey, rn AS pos,
+         CAST(o_orderkey + {ORDER_OFFSET} AS BIGINT) AS vertex_id
+  FROM r)
+SELECT CAST(c.chain_id AS BIGINT) AS chain_id, CAST(v.pos AS BIGINT) AS pos,
+       v.vertex_id
+FROM ranked c JOIN verts v USING (o_custkey)
+ORDER BY chain_id, pos
+"""
+
+
+def q_corpus_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule edge-derivation half of corpus_pipeline, fully
+    oracled: a SQL-reproducible corpus (modular arithmetic instead of
+    xxhash64 draws — the ONLY difference from synthesize_corpus) flows
+    through the REAL operators — extract_refs (Arrow pandas-UDF regex),
+    defined_symbol (JVM regexp), derive_edges (symbol equi-join +
+    (src,dst) aggregation + self-edge filter) — and the result is keyed
+    back to (repo, path) via the derived vertex table so DuckDB can
+    reproduce it bit-for-bit (reference precedent: the tensor-name
+    equi-join IS the reference's graph construction, graph.py:7-24)."""
+    from .sources.corpus import synthesize_corpus_modular
+
+    files = synthesize_corpus_modular(spark, n_files=500, n_repos=10)
+    g = derive_edges(files)
+    src_v = g.vertices.select(
+        F.col("id").alias("src_id"), F.col("path").alias("src_path")
+    )
+    dst_v = g.vertices.select(
+        F.col("id").alias("dst_id"), F.col("path").alias("dst_path")
+    )
+    return (
+        g.edges.join(src_v, "src_id")
+        .join(dst_v, "dst_id")
+        .select("src_path", "dst_path", "weight")
+        .orderBy("src_path", "dst_path")
+    )
+
+
+# Bit-exact replica: regenerate the modular corpus (printf arithmetic),
+# replicate _IMPORT_RE['python'] and the '# module:' header regex
+# (functions/text.py:24,51) in RE2, then the same equi-join + group-by.
+_ORACLE_CORPUS_EDGES = r"""
+WITH files AS MATERIALIZED (
+  SELECT i,
+         printf('src/m%07d.py', i) AS path,
+         printf('# module: mod_%07d', i) || chr(10) ||
+         'import mod_0000000' || chr(10) ||
+         array_to_string(
+           list_transform(generate_series(0, CAST(i % 7 AS INT)),
+             k -> printf('import mod_%07d', (i*31 + k*17 + 1) % 500)),
+           chr(10)) ||
+         chr(10) || 'def main():' || chr(10) || '    return 0' AS content
+  FROM range(500) t(i)),
+defs AS (
+  SELECT path AS dst_path,
+         regexp_extract(content, '# module: ([A-Za-z0-9_.]+)', 1) AS symbol
+  FROM files
+  WHERE regexp_extract(content, '# module: ([A-Za-z0-9_.]+)', 1) <> ''),
+refs AS (
+  SELECT path AS src_path,
+         unnest(regexp_extract_all(content,
+            '(?m)^\s*(?:import|from)\s+([A-Za-z_][A-Za-z0-9_.]*)', 1)) AS symbol
+  FROM files)
+SELECT r.src_path, d.dst_path, CAST(count(*) AS DOUBLE) AS weight
+FROM refs r JOIN defs d USING (symbol)
+WHERE r.src_path <> d.dst_path
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full north-rule pipeline at test scale: synthesize corpus →
     derive edges → PageRank to 1e-6 → top 20. Deterministic."""
@@ -999,6 +1139,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "graph_contraction": (q_graph_contraction, _ORACLE_CONTRACTION),
     "frontier_indegree0": (q_frontier_indegree0, _ORACLE_FRONTIER),
     "longest_path": (q_longest_path, _longest_path_sql(32)),
+    "chain_decomposition": (q_chain_decomposition, _ORACLE_CHAINS),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),
@@ -1026,5 +1167,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "simhash_near_dups": (q_simhash_near_dups, _ORACLE_SIMHASH),
     "embedding_ivf_topk": (q_embedding_ivf_topk, None),
     "balanced_partition": (q_balanced_partition, None),
+    "corpus_edges": (q_corpus_edges, _ORACLE_CORPUS_EDGES),
     "corpus_pipeline": (q_corpus_pipeline, None),
 }

@@ -79,6 +79,45 @@ def synthesize_corpus(
     )
 
 
+def synthesize_corpus_modular(
+    spark: SparkSession, n_files: int = 500, n_repos: int = 10
+) -> DataFrame:
+    """SQL-reproducible corpus variant for the edge-derivation oracle.
+
+    Same schema/content shape as ``synthesize_corpus`` but every
+    pseudo-random draw is plain modular arithmetic (no xxhash64), so a
+    DuckDB query can regenerate the IDENTICAL corpus and replicate the
+    symbol-extraction regexes + equi-join bit-for-bit (queries.py
+    ``corpus_edges``). File i defines mod_i, imports the hub mod_0 plus
+    (i mod 7)+1 modular targets — hub weight-2 edges and self-import
+    filtering both occur, so the aggregation and self-edge paths are
+    exercised, not just the join."""
+    base = spark.range(n_files)
+    i = F.col("id")
+    import_lines = F.transform(
+        F.sequence(F.lit(0), F.pmod(i, F.lit(7)).cast("int")),
+        lambda k: F.format_string(
+            "import mod_%07d", F.pmod(i * 31 + k * 17 + 1, F.lit(n_files))
+        ),
+    )
+    content = F.concat_ws(
+        "\n",
+        F.format_string("# module: mod_%07d", i),
+        F.lit("import mod_0000000"),
+        F.concat_ws("\n", import_lines),
+        F.lit("def main():\n    return 0"),
+    )
+    repo = F.format_string("repo_%04d", F.pmod(i, F.lit(n_repos)))
+    path = F.format_string("src/m%07d.py", i)
+    return base.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.substring(F.sha2(F.concat(repo, path, F.lit("v1")), 256), 1, 40).alias("commit"),
+        F.lit("python").alias("lang"),
+        content.alias("content"),
+    )
+
+
 def write_corpus(files: DataFrame, out_dir: str) -> None:
     """Persist the corpus (parquet; Iceberg layout when the connector is
     on the classpath — parquet is the functional fallback, same DataFrame

@@ -276,3 +276,35 @@ def test_ivf_topk_partial_probe_recall(spark):
     hits = sum(len(truth[qid] & got.get(qid, set())) for qid in truth)
     total = sum(len(v) for v in truth.values())
     assert hits / total >= 0.4, f"recall@5 {hits}/{total}"
+
+def test_numpy_topk_query_cap_enforced(spark):
+    """numpy_topk collects+broadcasts the query side; the documented
+    small-side contract is enforced mechanically (VERDICT r3 #6)."""
+    import pytest
+
+    _, emb = _toy_embeddings(spark)
+    with pytest.raises(ValueError, match="max_queries"):
+        numpy_topk(emb, emb, k=3, max_queries=5)
+    # at or under the cap, identical to brute force
+    bf = {(r.query_id, r.rank): r.neighbor_id
+          for r in brute_force_topk(emb, emb, k=3).collect()}
+    npk = {(r.query_id, r.rank): r.neighbor_id
+           for r in numpy_topk(emb, emb, k=3, max_queries=20).collect()}
+    assert bf == npk
+
+
+def test_ivf_sampled_fit_bounded_and_exact(spark):
+    """The IVF codebook fit runs on a seeded bounded sample
+    (fit_sample_rows); with a cap smaller than the corpus the pipeline
+    still returns exact results when probing all cells (coarse cells
+    only route candidates — correctness never depends on centroid
+    quality when n_probe == n_cells)."""
+    from cim_framework_graph_partitioning_spark.operators.similarity import ivf_topk
+
+    _, emb = _toy_embeddings(spark)
+    bf = {(r.query_id, r.rank): r.neighbor_id
+          for r in brute_force_topk(emb, emb, k=3).collect()}
+    ivf = {(r.query_id, r.rank): r.neighbor_id
+           for r in ivf_topk(emb, emb, k=3, n_cells=3, n_probe=3,
+                             fit_sample_rows=8).collect()}
+    assert bf == ivf
