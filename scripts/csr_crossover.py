@@ -27,6 +27,12 @@ from cim_framework_graph_partitioning_spark.sources.corpus import synthesize_cor
 SCALES = [int(x) for x in os.environ.get("CSR_SCALES", "1000000,4000000").split(",")]
 CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 STEPS = int(os.environ.get("CSR_STEPS", "6"))
+# quiet-window adjudication protocol (VERDICT r3 #7): interleave the
+# modes ROUNDS times within ONE session, so a neighbor spike lands on
+# one round of every mode instead of one mode's only sample; the
+# per-mode verdict statistic is the min-of-steady across rounds (same
+# noise defense as scaling_bench). ROUNDS=1 keeps the original sweep.
+ROUNDS = int(os.environ.get("CSR_ROUNDS", "1"))
 
 
 def edge_table(n_files: int) -> str:
@@ -51,6 +57,8 @@ def run_mode(spark, edges, mode: str) -> dict:
     return {
         "mode": mode, "edges": n_edges, "steps": STEPS,
         "wall_sec": round(wall, 2), "sec_per_superstep": round(sec, 3),
+        "min_steady_sec": round(min(steady), 3),
+        "steady_steps_sec": [round(s, 2) for s in steady],
         "edges_per_sec": round(n_edges / sec, 1),
     }
 
@@ -62,11 +70,14 @@ def main() -> None:
         spark = get_spark(app_name=f"csr-x-{n_files}", master=f"local[{CORES}]",
                           shuffle_partitions=CORES)
         edges = spark.read.parquet(path)
-        for mode in os.environ.get("CSR_MODES", "dataframe,csr,csr_arrow").split(","):
-            r = run_mode(spark, edges, mode)
-            r["n_files"] = n_files
-            results.append(r)
-            print(json.dumps(r))
+        modes = os.environ.get("CSR_MODES", "dataframe,csr,csr_arrow").split(",")
+        for rnd in range(ROUNDS):
+            for mode in modes:
+                r = run_mode(spark, edges, mode)
+                r["n_files"] = n_files
+                r["round"] = rnd
+                results.append(r)
+                print(json.dumps(r))
         spark.stop()
 
     today = datetime.date.today().isoformat()
@@ -86,8 +97,11 @@ def main() -> None:
         )
     lines += ["", "Raw JSON:", "```json", json.dumps(results), "```", ""]
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/CSR_CROSSOVER.md", "w") as f:
-        f.write("\n".join(lines))
+    # adjudication runs (CSR_NO_MD=1) print JSON only — the md carries a
+    # hand-curated verdict history and must not be clobbered
+    if not os.environ.get("CSR_NO_MD"):
+        with open("BENCH/CSR_CROSSOVER.md", "w") as f:
+            f.write("\n".join(lines))
     print(json.dumps(results))
 
 

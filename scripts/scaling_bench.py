@@ -29,14 +29,15 @@ from cim_framework_graph_partitioning_spark.sources.corpus import synthesize_cor
 # overhead (at 50k files a superstep is ~1s of pure overhead and MORE
 # threads only add cost; at 1M files / ~8M edges compute dominates).
 N_FILES = int(os.environ.get("SCALING_CORPUS_FILES", "4000000"))
-# N and 4N parallelism levels. Default 1 vs 4 (round 3): after the
-# checkpoint-leak fix the measured per-doubling efficiency curve is
-# 1->2 = 0.96, 2->4 = 0.96, 4->8 = 0.52, 8->32 = 0.65 — this box's
-# DRAM/shuffle bandwidth saturates between 4 and 8 threads, a
-# single-host artifact a 4x-node cluster does not have (each node
-# brings its own memory channels, disks, and network bisection).
-# 1 vs 4 keeps both levels in the measured linear regime; the full
-# curve incl. 2v8 and 8v32 is published in BENCH/BASELINE.md.
+# N and 4N parallelism levels. Default 1 vs 4: the per-doubling curve
+# on current code is 1->2 = 0.96, 2->4 = 0.96, 4->8 = 0.52,
+# 8->16 = 0.71, 16->32 = 1.18 (host quirk), and the 4->8 wall is now
+# MEASURED (scripts/roofline.py, BENCH/ROOFLINE.md): x2.21 CPU-cycle
+# inflation per identical superstep at 8 threads vs 4 in one JVM, plus
+# a thread-vs-process anon-fault ceiling — single-process artifacts a
+# 4x-node cluster does not share. 1 vs 4 keeps both levels in the
+# measured linear regime; the full curve incl. 2v8 and the (fresh,
+# 0.833-passing) 8v32 pair is published in BENCH/BASELINE.md.
 LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "1,4").split(",")]
 N_STEPS = int(os.environ.get("SCALING_STEPS", "14"))
 
@@ -152,8 +153,11 @@ Raw JSON:
 ```
 """
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    # curve-refresh runs (SCALING_NO_MD=1) print JSON only — BASELINE.md
+    # is hand-curated with the full pair history and must not be clobbered
+    if not os.environ.get("SCALING_NO_MD"):
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write(md)
     print(json.dumps({f"local{LEVELS[0]}": r8, f"local{LEVELS[1]}": r32, "efficiency": round(eff, 4)}))
 
 
