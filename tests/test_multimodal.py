@@ -197,3 +197,113 @@ def test_corrupt_magic_falls_back_to_fake(spark):
     assert all(abs(sum(r.feature) - 1.0) < 1e-9 for r in feats)
     with pytest.raises(Exception, match="NotImplementedError|not decodable"):
         decode_and_featurize(media, allow_fake=False).collect()
+
+
+def test_png_roundtrip_all_filters_and_variants():
+    """Stdlib-zlib PNG codec: every scanline filter (None/Sub/Up/
+    Average/Paeth + per-row mixed) must reconstruct the exact pixels;
+    grayscale and RGBA color types decode through the shared BGR
+    contract; corrupt payloads and unsupported variants raise."""
+    import zlib
+
+    import pytest
+
+    from cim_framework_graph_partitioning_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    for ft in [0, 1, 2, 3, 4, "mixed"]:
+        out = decode_png(encode_png(img, ft))
+        assert out.shape == img.shape and (out == img).all(), f"filter {ft}"
+
+    # cross-codec contract: identical pixels through PNG and BMP decode
+    # to identical arrays (both BGR, top-down)
+    assert (decode_png(encode_png(img)) == decode_bmp(encode_bmp(img))).all()
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    # grayscale (color type 0): replicated into all three BGR channels
+    g = rng.randint(0, 256, size=(5, 9), dtype=np.uint8)
+    body = bytearray()
+    for y in range(5):
+        body.append(0)
+        body += g[y].tobytes()
+    pay = (
+        _PNG_SIG
+        + chunk(b"IHDR", (9).to_bytes(4, "big") + (5).to_bytes(4, "big")
+                + bytes([8, 0, 0, 0, 0]))
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+    dg = decode_png(pay)
+    assert dg.shape == (5, 9, 3) and (dg[..., 0] == g).all() and (dg[..., 2] == g).all()
+
+    # RGBA (color type 6): alpha dropped, RGB -> BGR
+    ra = rng.randint(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    body = bytearray()
+    for y in range(4):
+        body.append(0)
+        body += ra[y].tobytes()
+    pay = (
+        _PNG_SIG
+        + chunk(b"IHDR", (6).to_bytes(4, "big") + (4).to_bytes(4, "big")
+                + bytes([8, 6, 0, 0, 0]))
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(pay) == ra[..., :3][..., ::-1]).all()
+
+    # corrupt: bad signature, truncated, CRC-smashed
+    good = encode_png(img)
+    for bad in [b"NOPE" + good[4:], good[:40], good[:-5] + b"XXXXX"]:
+        with pytest.raises(ValueError):
+            decode_png(bad)
+
+    # unsupported: palette, 16-bit, interlaced
+    ih = (3).to_bytes(4, "big") + (3).to_bytes(4, "big")
+    for variant in [bytes([8, 3, 0, 0, 0]), bytes([16, 2, 0, 0, 0]),
+                    bytes([8, 2, 0, 0, 1])]:
+        pay = (
+            _PNG_SIG + chunk(b"IHDR", ih + variant)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 30)) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(pay)
+
+
+def test_real_mixed_codecs_end_to_end(spark):
+    """One media table mixing real BMP, PNG, and WAV payloads must flow
+    through decode_and_featurize with allow_fake=False — all three real
+    codecs coexist in one mapInPandas kernel — and BMP/PNG of the same
+    pixels must produce identical features."""
+    from cim_framework_graph_partitioning_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+    )
+
+    img = np.full((4, 7, 3), 60, dtype=np.uint8)
+    sig = np.sin(np.linspace(0, 40 * np.pi, 800))
+    rows = [
+        (0, "image", bytearray(encode_bmp(img)), (7, 4, None, None)),
+        (1, "image", bytearray(encode_png(img, "mixed")), (7, 4, None, None)),
+        (2, "audio", bytearray(encode_wav(sig, 8000)), (None, None, 8000, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: list(r.feature)
+             for r in decode_and_featurize(media, allow_fake=False).collect()}
+    assert len(feats) == 3
+    assert feats[0] == feats[1]  # same pixels, same features, either codec
+    assert feats[0][0] == 7.0 and feats[0][1] == 4.0
+    assert feats[2][0] == 8000.0  # WAV feature leads with sample_rate
