@@ -7,16 +7,17 @@ end-to-end paths and one stub:
 * BMP (uncompressed 24-bit BI_RGB) payloads are decoded for real by a
   pure-numpy parser (``decode_bmp``; round-trippable via ``encode_bmp``)
   — no external image library needed, golden-pixel tested.
-* PNG (8-bit gray/RGB/gray+alpha/RGBA, non-interlaced) payloads are
-  decoded for real by a stdlib-zlib + numpy parser (``decode_png``;
-  round-trippable via ``encode_png``) — full chunk/CRC walk and all
-  five scanline filters reconstructed, round-trip tested per filter.
+* PNG (8-bit gray/RGB/palette/gray+alpha/RGBA, non-interlaced)
+  payloads are decoded for real by a stdlib-zlib + numpy parser
+  (``decode_png``; round-trippable via ``encode_png``) — full
+  chunk/CRC walk, all five scanline filters reconstructed, vectorized
+  PLTE lookup; round-trip tested per filter.
 * WAV (RIFF/PCM, 8- or 16-bit) payloads are decoded for real by a
   pure-python chunk parser (``decode_wav``; round-trippable via
   ``encode_wav``) — duration / RMS / zero-crossing / amplitude-histogram
   features, golden-sample tested.
-* remaining formats (JPEG, palette/16-bit/interlaced PNG, compressed
-  audio, video) are STUBBED — they genuinely need codec libraries this
+* remaining formats (JPEG, 16-bit/interlaced PNG, compressed audio,
+  video) are STUBBED — they genuinely need codec libraries this
   container lacks: with ``allow_fake=False`` the kernel raises
   ``NotImplementedError``; with the default ``allow_fake=True`` it
   computes a deterministic fake 'decode' (bucketed byte histogram,
@@ -152,13 +153,14 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode an 8-bit-depth non-interlaced PNG (color types 0 gray,
-    2 RGB, 4 gray+alpha, 6 RGBA — everything a screenshot/export tool
-    emits except palette images) using only stdlib zlib + numpy: chunk
-    walk with CRC validation, IDAT inflate, and full reconstruction of
-    all five scanline filters (None/Sub/Up/Average/Paeth). Returns
-    (height, width, 3) uint8 in BGR channel order to match
-    ``decode_bmp`` (alpha dropped, gray replicated). Raises ValueError
-    on palette/16-bit/interlaced variants or a corrupt payload.
+    2 RGB, 3 palette, 4 gray+alpha, 6 RGBA) using only stdlib zlib +
+    numpy: chunk walk with CRC validation, IDAT inflate, and full
+    reconstruction of all five scanline filters
+    (None/Sub/Up/Average/Paeth); palette images resolve through one
+    vectorized PLTE lookup. Returns (height, width, 3) uint8 in BGR
+    channel order to match ``decode_bmp`` (alpha dropped, gray
+    replicated). Raises ValueError on 16-bit/sub-byte-depth/interlaced
+    variants or a corrupt payload.
 
     Sub is reconstructed as a per-row modular cumsum (vectorized);
     Up is one vectorized add against the prior row; Average/Paeth are
@@ -171,6 +173,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 12 <= len(payload):
         size = int.from_bytes(payload[pos : pos + 4], "big")
@@ -183,6 +186,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("PNG chunk CRC mismatch")
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -193,12 +198,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, comp, filt, interlace = ihdr[8:13]
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError(
             f"unsupported PNG variant depth={depth} color={color} "
             f"interlace={interlace}"
         )
+    if color == 3 and (plte is None or len(plte) % 3 or not len(plte)):
+        raise ValueError("palette PNG missing/bad PLTE chunk")
     if w <= 0 or h <= 0:
         raise ValueError("bad PNG dimensions")
     try:
@@ -244,6 +251,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     px = recon.reshape(h, w, channels)
     if color == 2:
         return px[..., ::-1].copy()  # RGB -> BGR
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)  # RGB rows
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return pal[idx][..., ::-1].copy()  # one vectorized lookup -> BGR
     if color == 6:
         return px[..., 2::-1].copy()  # drop alpha, RGB -> BGR
     return np.repeat(px[..., :1], 3, axis=2)  # gray(±alpha) -> BGR

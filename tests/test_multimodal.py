@@ -307,3 +307,49 @@ def test_real_mixed_codecs_end_to_end(spark):
     assert feats[0] == feats[1]  # same pixels, same features, either codec
     assert feats[0][0] == 7.0 and feats[0][1] == 4.0
     assert feats[2][0] == 8000.0  # WAV feature leads with sample_rate
+
+
+def test_png_palette_decode():
+    """Color type 3: indices resolve through one vectorized PLTE lookup
+    into the BGR contract; a palette image without PLTE, or with an
+    out-of-range index, raises."""
+    import zlib
+
+    import pytest
+
+    from cim_framework_graph_partitioning_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    pal = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255, 10, 20, 30])  # 4 RGB entries
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    body = bytearray()
+    for y in range(2):
+        body.append(0)
+        body += idx[y].tobytes()
+    ihdr = (4).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    pay = (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(bytes(body))) + chunk(b"IEND", b"")
+    )
+    out = decode_png(pay)
+    assert out.shape == (2, 4, 3)
+    assert (out[0, 0] == [0, 0, 255]).all()   # palette 0 = red -> BGR
+    assert (out[0, 3] == [30, 20, 10]).all()  # palette 3 -> BGR
+    assert (out[1, 0] == out[0, 3]).all()
+
+    # out-of-range index
+    body2 = bytearray(b"\x00" + bytes([7, 0, 0, 0]) + b"\x00" + bytes([0, 0, 0, 0]))
+    pay2 = (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(bytes(body2))) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(pay2)
