@@ -85,7 +85,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     planes = int.from_bytes(payload[26:28], "little")
     bpp = int.from_bytes(payload[28:30], "little")
     compression = int.from_bytes(payload[30:34], "little")
-    if planes != 1 or bpp != 24 or compression != 0 or width <= 0:
+    if planes != 1 or bpp != 24 or compression != 0 or width <= 0 or height == 0:
         raise ValueError(f"unsupported BMP variant bpp={bpp} comp={compression}")
     bottom_up = height > 0
     h = abs(height)
@@ -492,7 +492,7 @@ def decode_and_featurize(media: DataFrame, allow_fake: bool = True) -> DataFrame
             fi = 0
             for r in real:
                 if r is not None:
-                    feats.append(r)  # real BMP/WAV path
+                    feats.append(r)  # real codec path (BMP/PNG/WAV)
                 else:
                     feats.append(fake[fi])
                     fi += 1

@@ -103,8 +103,12 @@ def exact_objective(
     objective_mode: str = "default",
     pipeline_batch: int = 8,
     k: int | None = None,
-) -> tuple[float, float, float]:
-    """(objective, edge_cut, sum_sq_load), recomputed distributed.
+    return_loads: bool = False,
+) -> tuple:
+    """(objective, edge_cut, sum_sq_load), recomputed distributed;
+    with ``return_loads`` the padded per-part loads map is appended so
+    callers that need it (balanced_partition init) don't re-run the
+    count job or re-state the padding invariant.
 
     ``k`` pads the loads map with zero-count entries for empty parts so
     the 'maxload' term (lam * k * max^2) agrees with the incremental
@@ -129,6 +133,8 @@ def exact_objective(
     obj = _cut_scale(objective_mode) * float(cut) + _load_term(
         loads_map, lam, objective_mode, pipeline_batch
     )
+    if return_loads:
+        return obj, float(cut), ssq, loads_map
     return obj, float(cut), ssq
 
 
@@ -181,14 +187,9 @@ def balanced_partition(
         )
     )
 
-    best_obj, cut, ssq = exact_objective(
-        und, best, lam, objective_mode, pipeline_batch, k=k
+    best_obj, cut, ssq, loads_map = exact_objective(
+        und, best, lam, objective_mode, pipeline_batch, k=k, return_loads=True
     )
-    loads_map = {
-        r.part: r["count"] for r in best.groupBy("part").count().collect()
-    }
-    for part in range(k):
-        loads_map.setdefault(part, 0)
     history = [{"round": 0, "objective": best_obj, "cut": cut, "ssq": ssq,
                 "moves": 0, "objective_mode": objective_mode}]
 

@@ -5,7 +5,8 @@ SAME edge table at two scales (~8M and ~32M edges), local[32]. Whatever
 wins at 32M becomes the documented default; the loser is demoted to an
 explicitly experimental path.
 
-Run: python scripts/csr_crossover.py   (writes BENCH/CSR_CROSSOVER.md)
+Run: python scripts/csr_crossover.py   (prints JSON; CSR_WRITE_MD=1 to
+regenerate BENCH/CSR_CROSSOVER.md, off by default — it is hand-curated)
 """
 
 from __future__ import annotations
@@ -14,15 +15,12 @@ import datetime
 import json
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from cim_framework_graph_partitioning_spark.operators.edges import derive_edges
 from cim_framework_graph_partitioning_spark.operators.pagerank import pagerank
 from cim_framework_graph_partitioning_spark.session import get_spark
-from cim_framework_graph_partitioning_spark.sources.corpus import synthesize_corpus
 
 SCALES = [int(x) for x in os.environ.get("CSR_SCALES", "1000000,4000000").split(",")]
 CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -35,14 +33,7 @@ STEPS = int(os.environ.get("CSR_STEPS", "6"))
 ROUNDS = int(os.environ.get("CSR_ROUNDS", "1"))
 
 
-def edge_table(n_files: int) -> str:
-    out = os.path.join(tempfile.gettempdir(), f"scaling_edges_{n_files}.parquet")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        spark = get_spark(app_name="csr-prep", master=f"local[{CORES}]")
-        files = synthesize_corpus(spark, n_files=n_files, n_repos=500, seed=42)
-        derive_edges(files).edges.write.mode("overwrite").parquet(out)
-        spark.stop()
-    return out
+from _edges import edge_table  # noqa: E402  shared recipe — scripts/_edges.py
 
 
 def run_mode(spark, edges, mode: str) -> dict:
@@ -97,9 +88,10 @@ def main() -> None:
         )
     lines += ["", "Raw JSON:", "```json", json.dumps(results), "```", ""]
     os.makedirs("BENCH", exist_ok=True)
-    # adjudication runs (CSR_NO_MD=1) print JSON only — the md carries a
-    # hand-curated verdict history and must not be clobbered
-    if not os.environ.get("CSR_NO_MD"):
+    # BENCH/CSR_CROSSOVER.md carries a hand-curated verdict history, so
+    # overwriting is OPT-IN: the default run prints JSON only and never
+    # clobbers the curated doc.
+    if os.environ.get("CSR_WRITE_MD"):
         with open("BENCH/CSR_CROSSOVER.md", "w") as f:
             f.write("\n".join(lines))
     print(json.dumps(results))

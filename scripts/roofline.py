@@ -126,21 +126,46 @@ def _worker(kind: str, barrier, window: float, reps: int, q: mp.Queue) -> None:
     q.put(out)
 
 
+# generous: covers worst-case allocation at this sandbox's measured
+# ~10 MB/s/proc fault rate plus all windows; a dead worker must fail
+# the run loudly, not hang q.get()/Barrier.wait() forever
+WORKER_TIMEOUT_SEC = float(os.environ.get("ROOFLINE_WORKER_TIMEOUT", "900"))
+
+
+def _drain(q: mp.Queue, procs: list) -> list:
+    """Collect one queue item per worker, failing loudly if any worker
+    died (OOM-kill, exception before q.put) instead of hanging."""
+    import queue as _queue
+
+    results = []
+    for _ in procs:
+        try:
+            results.append(q.get(timeout=WORKER_TIMEOUT_SEC))
+        except _queue.Empty:
+            for p in procs:
+                p.terminate()
+            raise RuntimeError(
+                f"worker died or stalled >{WORKER_TIMEOUT_SEC}s "
+                f"(exitcodes: {[p.exitcode for p in procs]})"
+            ) from None
+    for p in procs:
+        p.join()
+    return results
+
+
 def bandwidth_at(n_procs: int, kind: str) -> list[float]:
     """One aggregate GB/s sample per repeat window (allocation amortized
     over all windows — see REPEATS note)."""
     ctx = mp.get_context("fork")
     q = ctx.Queue()
-    barrier = ctx.Barrier(n_procs)
+    barrier = ctx.Barrier(n_procs, timeout=WORKER_TIMEOUT_SEC)
     procs = [
         ctx.Process(target=_worker, args=(kind, barrier, WINDOW_SEC, REPEATS, q))
         for _ in range(n_procs)
     ]
     for p in procs:
         p.start()
-    results = [q.get() for _ in procs]
-    for p in procs:
-        p.join()
+    results = _drain(q, procs)
     # per window: aggregate rate = sum of per-worker rates over their own windows
     return [
         sum(worker[w][0] / worker[w][1] for worker in results) / 1e9
@@ -168,21 +193,11 @@ def part_a() -> dict:
 
 
 def _ensure_edges() -> str:
-    edges_path = os.environ.get("SCALING_EDGES_PATH") or os.path.join(
-        tempfile.gettempdir(), "scaling_edges_4000000.parquet"
-    )
-    if not os.path.exists(os.path.join(edges_path, "_SUCCESS")):
-        from cim_framework_graph_partitioning_spark.operators.edges import derive_edges
-        from cim_framework_graph_partitioning_spark.session import get_spark
-        from cim_framework_graph_partitioning_spark.sources.corpus import (
-            synthesize_corpus,
-        )
+    if os.environ.get("SCALING_EDGES_PATH"):
+        return os.environ["SCALING_EDGES_PATH"]
+    from _edges import edge_table  # shared recipe — scripts/_edges.py
 
-        spark = get_spark(app_name="roofline-prep", master="local[32]")
-        files = synthesize_corpus(spark, n_files=4_000_000, n_repos=500, seed=42)
-        derive_edges(files).edges.write.mode("overwrite").parquet(edges_path)
-        spark.stop()
-    return edges_path
+    return edge_table(4_000_000)
 
 
 def _part_b_level(cores: int, edges_path: str) -> dict:
@@ -298,7 +313,7 @@ def part_c() -> dict:
     def touch_rate_procs(n: int) -> float:
         ctx = mp.get_context("fork")
         q = ctx.Queue()
-        barrier = ctx.Barrier(n)
+        barrier = ctx.Barrier(n, timeout=WORKER_TIMEOUT_SEC)
 
         def w(q=q, barrier=barrier):
             barrier.wait()
@@ -310,9 +325,7 @@ def part_c() -> dict:
         procs = [ctx.Process(target=w) for _ in range(n)]
         for p in procs:
             p.start()
-        times = [q.get() for _ in procs]
-        for p in procs:
-            p.join()
+        times = _drain(q, procs)
         return n * fault_mb / max(times) / 1024  # aggregate GB/s
 
     def touch_rate_threads(n: int) -> float:

@@ -6,7 +6,9 @@ superstep loop on the SAME persisted edge table at local[8] and
 local[32] (shuffle partitions scaled 8 → 32), reporting throughput at
 both plus efficiency = (throughput_32 / throughput_8) / 4.
 
-Writes BENCH/BASELINE.md. Run: python scripts/scaling_bench.py
+Prints one JSON line; pass SCALING_WRITE_MD=1 to also regenerate
+BENCH/BASELINE.md (off by default — that doc is hand-curated).
+Run: python scripts/scaling_bench.py
 """
 
 from __future__ import annotations
@@ -15,15 +17,14 @@ import datetime
 import json
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from cim_framework_graph_partitioning_spark.operators.edges import derive_edges
 from cim_framework_graph_partitioning_spark.operators.pagerank import pagerank
+
+from _edges import edge_table  # noqa: E402  shared recipe — scripts/_edges.py
 from cim_framework_graph_partitioning_spark.session import get_spark
-from cim_framework_graph_partitioning_spark.sources.corpus import synthesize_corpus
 
 # large enough that per-superstep compute dominates fixed scheduling
 # overhead (at 50k files a superstep is ~1s of pure overhead and MORE
@@ -97,15 +98,8 @@ def run_level(cores: int, edges_path: str, tol: float) -> dict:
 
 def main() -> None:
     # build the edge table once, persist to parquet, share across levels
-    out = os.environ.get("SCALING_EDGES_PATH") or os.path.join(
-        tempfile.gettempdir(), f"scaling_edges_{N_FILES}.parquet"
-    )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        spark = get_spark(app_name="scaling-prep", master="local[32]")
-        files = synthesize_corpus(spark, n_files=N_FILES, n_repos=500, seed=42)
-        g = derive_edges(files)
-        g.edges.write.mode("overwrite").parquet(out)
-        spark.stop()
+    # (recipe shared with csr_crossover/roofline — scripts/_edges.py)
+    out = os.environ.get("SCALING_EDGES_PATH") or edge_table(N_FILES)
 
     tol = float(os.environ.get("SCALING_TOL", "1e-6"))
     r8 = run_level(LEVELS[0], out, tol)
@@ -153,9 +147,10 @@ Raw JSON:
 ```
 """
     os.makedirs("BENCH", exist_ok=True)
-    # curve-refresh runs (SCALING_NO_MD=1) print JSON only — BASELINE.md
-    # is hand-curated with the full pair history and must not be clobbered
-    if not os.environ.get("SCALING_NO_MD"):
+    # BENCH/BASELINE.md is hand-curated (full pair history + roofline
+    # links), so overwriting is OPT-IN: the default run prints JSON only
+    # and never clobbers the curated doc.
+    if os.environ.get("SCALING_WRITE_MD"):
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(md)
     print(json.dumps({f"local{LEVELS[0]}": r8, f"local{LEVELS[1]}": r32, "efficiency": round(eff, 4)}))

@@ -76,6 +76,10 @@ def test_bmp_roundtrip_and_golden_pixels():
         decode_bmp(b"NOPE" + b"\x00" * 64)
     with pytest.raises(ValueError):
         decode_bmp(payload[:20])  # truncated
+    zero_h = bytearray(payload)
+    zero_h[22:26] = (0).to_bytes(4, "little")  # height 0: no pixels
+    with pytest.raises(ValueError):  # must not 'succeed' into NaN features
+        decode_bmp(bytes(zero_h))
 
 
 def test_real_bmp_decode_end_to_end(spark):
@@ -269,7 +273,8 @@ def test_png_roundtrip_all_filters_and_variants():
         with pytest.raises(ValueError):
             decode_png(bad)
 
-    # unsupported: palette, 16-bit, interlaced
+    # refused: palette WITHOUT a PLTE chunk (palette itself is supported
+    # — see test_png_palette_decode), 16-bit depth, interlaced
     ih = (3).to_bytes(4, "big") + (3).to_bytes(4, "big")
     for variant in [bytes([8, 3, 0, 0, 0]), bytes([16, 2, 0, 0, 0]),
                     bytes([8, 2, 0, 0, 1])]:
