@@ -71,9 +71,9 @@ LEVELS = [int(x) for x in os.environ.get("ROOFLINE_LEVELS", "1,2,4,8,16,32").spl
 # BENCH/ROOFLINE.md — so buffer allocation dominates any respawn.)
 REPEATS = int(os.environ.get("ROOFLINE_REPEATS", "3"))
 # published steady s/step per local[N] level for the 32M-edge PageRank
-# (BENCH/BASELINE.md raw JSON: 1/2/4/8 from the r3 runs, 16/32 from the
-# fresh r4 runs on identical code — full arrays in BASELINE.md)
-STEADY_SEC = {1: 36.204, 2: 18.848, 4: 9.796, 8: 9.426, 16: 6.656, 32: 2.830}
+# (BENCH/BASELINE.md raw JSON: 1/2/4/8 from the r3 runs; 16/32 = min
+# over the two fresh r4 runs each — full arrays in BASELINE.md)
+STEADY_SEC = {1: 36.204, 2: 18.848, 4: 9.796, 8: 9.426, 16: 5.112, 32: 2.830}
 
 
 def _busy_cores(sample_sec: float = 2.0) -> float:

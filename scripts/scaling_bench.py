@@ -32,13 +32,14 @@ from cim_framework_graph_partitioning_spark.session import get_spark
 N_FILES = int(os.environ.get("SCALING_CORPUS_FILES", "4000000"))
 # N and 4N parallelism levels. Default 1 vs 4: the per-doubling curve
 # on current code is 1->2 = 0.96, 2->4 = 0.96, 4->8 = 0.52,
-# 8->16 = 0.71, 16->32 = 1.18 (host quirk), and the 4->8 wall is now
-# MEASURED (scripts/roofline.py, BENCH/ROOFLINE.md): x2.21 CPU-cycle
-# inflation per identical superstep at 8 threads vs 4 in one JVM, plus
-# a thread-vs-process anon-fault ceiling — single-process artifacts a
-# 4x-node cluster does not share. 1 vs 4 keeps both levels in the
-# measured linear regime; the full curve incl. 2v8 and the (fresh,
-# 0.833-passing) 8v32 pair is published in BENCH/BASELINE.md.
+# 8->16 ~ 0.92, 16->32 ~ 0.90 (mid-curve = min over two noisy runs
+# each), and the 4->8 wall is MEASURED (scripts/roofline.py,
+# BENCH/ROOFLINE.md): x2.21 CPU-cycle inflation per identical
+# superstep at 8 threads vs 4 in one JVM, plus a thread-vs-process
+# anon-fault ceiling — single-process artifacts a 4x-node cluster does
+# not share. 1 vs 4 keeps both levels in the measured linear regime;
+# the full curve incl. 2v8 and the (fresh, 0.833-passing) 8v32 pair is
+# published in BENCH/BASELINE.md.
 LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "1,4").split(",")]
 N_STEPS = int(os.environ.get("SCALING_STEPS", "14"))
 
