@@ -1,7 +1,7 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
-batch shapes, mapInPandas UDF signatures. The codec layer has three REAL
+batch shapes, mapInPandas UDF signatures. The codec layer has four REAL
 end-to-end paths and one stub:
 
 * BMP (uncompressed 24-bit BI_RGB) payloads are decoded for real by a
@@ -12,13 +12,18 @@ end-to-end paths and one stub:
   (``decode_png``; round-trippable via ``encode_png``) — full
   chunk/CRC walk, all five scanline filters reconstructed, vectorized
   PLTE lookup; round-trip tested per filter.
+* JPEG (baseline sequential, 8-bit grayscale or YCbCr 4:4:4) payloads
+  are decoded for real by a pure-numpy huffman+IDCT decoder
+  (``jpeg.decode_jpeg``; ``jpeg.encode_jpeg`` returns payload AND the
+  exact expected decode, so the lossy round trip is bit-exact-tested).
 * WAV (RIFF/PCM, 8- or 16-bit) payloads are decoded for real by a
   pure-python chunk parser (``decode_wav``; round-trippable via
   ``encode_wav``) — duration / RMS / zero-crossing / amplitude-histogram
   features, golden-sample tested.
-* remaining formats (JPEG, 16-bit/interlaced PNG, compressed audio,
-  video) are STUBBED — they genuinely need codec libraries this
-  container lacks: with ``allow_fake=False`` the kernel raises
+* remaining formats (progressive/subsampled JPEG, 16-bit/interlaced
+  PNG, compressed audio, video) are STUBBED — they genuinely need
+  codec libraries or out-of-scope decode machinery this container
+  lacks: with ``allow_fake=False`` the kernel raises
   ``NotImplementedError``; with the default ``allow_fake=True`` it
   computes a deterministic fake 'decode' (bucketed byte histogram,
   numpy-vectorized across the whole Arrow batch) so the downstream
@@ -427,6 +432,13 @@ def _try_decode(payload: bytes) -> np.ndarray | None:
             return _image_features(decode_png(payload))
         except ValueError:
             return None
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        try:
+            return _image_features(decode_jpeg(payload))
+        except ValueError:
+            return None
     if payload[:4] == b"RIFF":
         try:
             return _wav_features(*decode_wav(payload))
@@ -481,9 +493,9 @@ def decode_and_featurize(media: DataFrame, allow_fake: bool = True) -> DataFrame
             real = [_try_decode(p) for p in payloads]
             if not allow_fake and any(r is None for r in real):
                 raise NotImplementedError(
-                    "payload not decodable by the built-in BMP/PNG/WAV "
-                    "codecs and allow_fake=False; pass allow_fake=True "
-                    "for deterministic fake features"
+                    "payload not decodable by the built-in BMP/PNG/JPEG/"
+                    "WAV codecs and allow_fake=False; pass allow_fake="
+                    "True for deterministic fake features"
                 )
             fake = _fake_features([
                 p for p, r in zip(payloads, real) if r is None

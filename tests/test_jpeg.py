@@ -1,0 +1,99 @@
+"""Baseline JPEG codec: bit-exact lossy round trips.
+
+The encoder returns (payload, expected) where expected replays the
+quantization loss through the decoder's own pipeline — so a LOSSY codec
+still gets exact-equality tests (no tolerance thresholds to hide bugs
+behind).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cim_framework_graph_partitioning_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 5 + xx * 2) % 256, (255 - yy * 3) % 256, (xx * 7) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_bit_exact_across_qualities_and_shapes():
+    img = _gradient(37, 29)  # non-multiple-of-8 dims exercise edge padding
+    prev_err = None
+    for q in (10, 50, 90, 100):
+        payload, expected = encode_jpeg(img, quality=q)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        out = decode_jpeg(payload)
+        assert out.shape == img.shape
+        assert (out == expected).all(), f"not bit-exact at q={q}"
+        err = float(np.abs(out.astype(int) - img.astype(int)).mean())
+        if prev_err is not None:
+            assert err <= prev_err + 1e-9  # loss shrinks as quality rises
+        prev_err = err
+    assert prev_err < 0.1  # q=100 is near-lossless on a smooth image
+
+    # worst-case entropy content: uniform noise hits deep (run, size)
+    # symbols in the huffman tables
+    noise = np.random.RandomState(3).randint(0, 256, (24, 16, 3), np.uint8)
+    p, e = encode_jpeg(noise, quality=95)
+    assert (decode_jpeg(p) == e).all()
+
+
+def test_jpeg_grayscale_single_component():
+    img = _gradient(16, 24)
+    payload, expected = encode_jpeg(img, quality=80, gray=True)
+    out = decode_jpeg(payload)
+    assert out.shape == (16, 24, 3)
+    assert (out == expected).all()
+    # grayscale contract: all three BGR channels identical
+    assert (out[..., 0] == out[..., 1]).all() and (out[..., 1] == out[..., 2]).all()
+
+
+def test_jpeg_structural_corruption_raises():
+    payload, _ = encode_jpeg(_gradient(16, 16), quality=75)
+    for bad in [
+        b"NOPE",                      # not a JPEG
+        b"\xff\xd8junk",              # marker misalignment
+        payload[:40],                 # truncated mid-segment
+        payload[:2] + payload[12:],   # resumes inside APP0 body: misaligned
+    ]:
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+    # progressive refused: flip SOF0 (0xC0) to SOF2 (0xC2)
+    prog = bytearray(payload)
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(prog))
+    # NOTE: corruption inside the entropy scan that still forms valid
+    # huffman codes is undetectable by design (JPEG has no checksum) —
+    # not tested as a raise.
+
+
+def test_jpeg_via_multimodal_dispatch(spark):
+    """Real JPEG payloads flow through decode_and_featurize with
+    allow_fake=False; since JPEG is lossy, the contract is that the
+    features derive exactly from the EXPECTED (post-quantization)
+    pixels the encoder replays."""
+    from cim_framework_graph_partitioning_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _image_features,
+        decode_and_featurize,
+    )
+
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    payload, expected = encode_jpeg(img, quality=90)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(payload), (8, 8, None, None))], MEDIA_SCHEMA
+    )
+    feats = decode_and_featurize(media, allow_fake=False).collect()
+    assert len(feats) == 1
+    assert list(feats[0].feature) == list(_image_features(expected))
