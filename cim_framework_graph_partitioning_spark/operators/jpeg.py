@@ -1,11 +1,12 @@
 """Baseline JPEG codec in pure numpy + stdlib — no external libraries.
 
 Scope (honest and tested):
-* ``decode_jpeg``: baseline sequential DCT JPEG (SOF0), 8-bit, 1
-  (grayscale) or 3 (YCbCr 4:4:4) components, huffman tables and quant
+* ``decode_jpeg``: baseline sequential DCT JPEG (SOF0), 8-bit,
+  grayscale, YCbCr 4:4:4, or YCbCr 4:2:0 (the camera/web layout: 2x2
+  luma blocks per MCU, chroma upsampled 2x), huffman tables and quant
   tables read from the payload's own DHT/DQT segments. Refuses
-  progressive (SOF2), arithmetic coding, 12-bit, subsampled chroma,
-  and restart intervals with ValueError — the decodability dispatch in
+  progressive (SOF2), arithmetic coding, 12-bit, other samplings, and
+  restart intervals with ValueError — the decodability dispatch in
   multimodal.py then falls back to the fake path.
 * ``encode_jpeg``: emits exactly that subset (quality-scaled Annex-K
   style quant tables, standard huffman tables written into DHT), and
@@ -244,21 +245,74 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 # --- encoder ----------------------------------------------------------------
 
+def _encode_block(writer, zz, prev_dc, ci, dc_codes, ac_codes) -> None:
+    diff = int(zz[0]) - prev_dc[ci]
+    prev_dc[ci] = int(zz[0])
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            if i > last_nz:
+                code, length = ac_codes[0x00]  # EOB
+                writer.write(code, length)
+                break
+            run += 1
+            if run == 16:
+                code, length = ac_codes[0xF0]  # ZRL
+                writer.write(code, length)
+                run = 0
+            continue
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        run = 0
+
+
 def encode_jpeg(
-    img: np.ndarray, quality: int = 90, gray: bool = False
+    img: np.ndarray,
+    quality: int = 90,
+    gray: bool = False,
+    subsample: str = "444",
 ) -> tuple[bytes, np.ndarray]:
-    """Encode (h, w, 3) uint8 BGR pixels as a baseline 4:4:4 JPEG (or
-    single-component grayscale with ``gray=True``). Returns
+    """Encode (h, w, 3) uint8 BGR pixels as a baseline JPEG — 4:4:4, or
+    4:2:0 (``subsample="420"``, the layout cameras and web encoders
+    emit: chroma box-filtered 2x2, luma 2x2 blocks per MCU), or
+    single-component grayscale (``gray=True``). Returns
     ``(payload, expected)`` where ``expected`` is the exact uint8 BGR
     array ``decode_jpeg(payload)`` must produce — the quantization loss
-    is replayed through the decoder's own dequantize/IDCT/color
-    pipeline, making lossy round-trips bit-exactly testable."""
+    is replayed through the decoder's own dequantize/IDCT/upsample/
+    color pipeline, making lossy round-trips bit-exactly testable."""
     img = np.asarray(img, dtype=np.uint8)
     h, w, _ = img.shape
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    sub = subsample == "420" and not gray
     ycc = _rgb_to_ycbcr(img[..., ::-1])  # BGR -> RGB -> YCbCr
     ql, qc = _quality_tables(quality)
     n_comp = 1 if gray else 3
-    planes = [ycc[..., i] for i in range(n_comp)]
+
+    if sub:
+        # pad luma to 16-multiples first so the half-res chroma planes
+        # land exactly on 8-multiples
+        ph, pw = -h % 16, -w % 16
+        y_pad = np.pad(ycc[..., 0], ((0, ph), (0, pw)), mode="edge")
+        chroma = []
+        for i in (1, 2):
+            c = np.pad(ycc[..., i], ((0, ph), (0, pw)), mode="edge")
+            hh, ww = c.shape
+            chroma.append(
+                c.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            )
+        planes = [y_pad] + chroma
+    else:
+        planes = [ycc[..., i] for i in range(n_comp)]
     qtabs = [ql] + [qc] * (n_comp - 1)
 
     dc_codes = _build_codes(_DC_BITS, _DC_VALS)
@@ -266,9 +320,7 @@ def encode_jpeg(
     ac_codes = _build_codes(ac_bits, ac_vals)
 
     writer = _BitWriter()
-    recon_planes = []
-    # encode + replay the loss, component-interleaved per MCU (4:4:4:
-    # one 8x8 block per component per MCU, raster order)
+    recon_full = []  # per component: full reconstructed padded plane
     quantized = []
     for plane, q in zip(planes, qtabs):
         blocks = _blocks(plane) - 128.0
@@ -278,43 +330,32 @@ def encode_jpeg(
         # replay: what the decoder will reconstruct from these ints
         deq = qc_.astype(np.float64) * q
         rec = np.einsum("ji,abjk,kl->abil", _DCTM, deq, _DCTM) + 128.0
-        recon_planes.append(
-            np.clip(_unblocks(rec, h, w), 0.0, 255.0)
+        nby_, nbx_ = rec.shape[:2]
+        recon_full.append(
+            np.clip(_unblocks(rec, nby_ * 8, nbx_ * 8), 0.0, 255.0)
         )
-    nby, nbx = quantized[0].shape[:2]
     prev_dc = [0] * n_comp
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci in range(n_comp):
-                block = quantized[ci][by, bx]
-                zz = block.reshape(64)[_ZIGZAG]
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                size, bits = _magnitude(diff)
-                code, length = dc_codes[size]
-                writer.write(code, length)
-                if size:
-                    writer.write(bits, size)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for i in range(1, 64):
-                    v = int(zz[i])
-                    if v == 0:
-                        if i > last_nz:
-                            code, length = ac_codes[0x00]  # EOB
-                            writer.write(code, length)
-                            break
-                        run += 1
-                        if run == 16:
-                            code, length = ac_codes[0xF0]  # ZRL
-                            writer.write(code, length)
-                            run = 0
-                        continue
-                    size, bits = _magnitude(v)
-                    code, length = ac_codes[(run << 4) | size]
-                    writer.write(code, length)
-                    writer.write(bits, size)
-                    run = 0
+    if sub:
+        nmy, nmx = quantized[1].shape[:2]  # MCU grid = chroma block grid
+        for by in range(nmy):
+            for bx in range(nmx):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        blk = quantized[0][2 * by + dy, 2 * bx + dx]
+                        _encode_block(writer, blk.reshape(64)[_ZIGZAG],
+                                      prev_dc, 0, dc_codes, ac_codes)
+                for ci in (1, 2):
+                    blk = quantized[ci][by, bx]
+                    _encode_block(writer, blk.reshape(64)[_ZIGZAG],
+                                  prev_dc, ci, dc_codes, ac_codes)
+    else:
+        nby, nbx = quantized[0].shape[:2]
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(n_comp):
+                    blk = quantized[ci][by, bx]
+                    _encode_block(writer, blk.reshape(64)[_ZIGZAG],
+                                  prev_dc, ci, dc_codes, ac_codes)
     scan = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -330,7 +371,9 @@ def encode_jpeg(
         )
 
     sof_comps = b"".join(
-        bytes([cid + 1, 0x11, 0 if cid == 0 else 1]) for cid in range(n_comp)
+        bytes([cid + 1, 0x22 if (sub and cid == 0) else 0x11,
+               0 if cid == 0 else 1])
+        for cid in range(n_comp)
     )
     sos_comps = b"".join(
         bytes([cid + 1, 0x00 if cid == 0 else 0x11]) for cid in range(n_comp)
@@ -352,10 +395,17 @@ def encode_jpeg(
     )
 
     if gray:
-        expected = np.repeat(recon_planes[0][..., None], 3, axis=2)
+        expected = np.repeat(recon_full[0][:h, :w][..., None], 3, axis=2)
         expected = np.clip(np.round(expected), 0, 255).astype(np.uint8)
+    elif sub:
+        y = recon_full[0][:h, :w]
+        cbcr = [
+            np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)[:h, :w]
+            for p in recon_full[1:]
+        ]
+        expected = _ycbcr_to_bgr(y, *cbcr)
     else:
-        expected = _ycbcr_to_bgr(*recon_planes)
+        expected = _ycbcr_to_bgr(*(p[:h, :w] for p in recon_full))
     return payload, expected
 
 
@@ -416,14 +466,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             w = int.from_bytes(body[3:5], "big")
             n_comp = body[5]
             comps = []
+            samps = []
             for i in range(n_comp):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                samps.append(samp)
                 comps.append((cid, qid))
             if body[0] != 8 or n_comp not in (1, 3):
                 raise ValueError("unsupported JPEG precision/components")
-            frame = (h, w, comps)
+            if all(s == 0x11 for s in samps):
+                sub = False
+            elif n_comp == 3 and samps == [0x22, 0x11, 0x11]:
+                sub = True  # 4:2:0
+            else:
+                raise ValueError(
+                    "unsupported JPEG sampling (4:4:4 and 4:2:0 only)"
+                )
+            frame = (h, w, comps, sub)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
@@ -442,12 +500,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2 + size
     if frame is None or scan_info is None or scan_data is None:
         raise ValueError("JPEG missing SOF0/SOS")
-    h, w, comps = frame
+    h, w, comps, sub = frame
     if h <= 0 or w <= 0:
         raise ValueError("bad JPEG dimensions")
     n_comp = len(comps)
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
-    coefs = [np.zeros((nby, nbx, 8, 8), dtype=np.float64) for _ in comps]
     reader = _BitReader(scan_data)
     prev_dc = [0] * n_comp
     try:
@@ -456,38 +512,65 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         q_sel = [qtables[qid] for _, qid in comps]
     except KeyError as e:
         raise ValueError(f"JPEG references missing table {e}") from e
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci in range(n_comp):
-                zz = np.zeros(64, dtype=np.int64)
-                size = reader.read_symbol(dc_sel[ci])
-                if size > 11:
-                    raise ValueError("bad DC size")
-                diff = _extend(reader.read_bits(size), size) if size else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                i = 1
-                while i < 64:
-                    sym = reader.read_symbol(ac_sel[ci])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    i += run
-                    if i >= 64 or size == 0:
-                        raise ValueError("bad AC run/size")
-                    zz[i] = _extend(reader.read_bits(size), size)
-                    i += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[_ZIGZAG] = zz
-                coefs[ci][by, bx] = block.reshape(8, 8) * q_sel[ci]
+
+    def read_block(ci: int) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        size = reader.read_symbol(dc_sel[ci])
+        if size > 11:
+            raise ValueError("bad DC size")
+        diff = _extend(reader.read_bits(size), size) if size else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        i = 1
+        while i < 64:
+            sym = reader.read_symbol(ac_sel[ci])
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            i += run
+            if i >= 64 or size == 0:
+                raise ValueError("bad AC run/size")
+            zz[i] = _extend(reader.read_bits(size), size)
+            i += 1
+        block = np.zeros(64, dtype=np.float64)
+        block[_ZIGZAG] = zz
+        return block.reshape(8, 8) * q_sel[ci]
+
+    if sub:
+        nmy, nmx = (h + 15) // 16, (w + 15) // 16
+        coefs = [np.zeros((2 * nmy, 2 * nmx, 8, 8)),
+                 np.zeros((nmy, nmx, 8, 8)), np.zeros((nmy, nmx, 8, 8))]
+        for by in range(nmy):
+            for bx in range(nmx):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        coefs[0][2 * by + dy, 2 * bx + dx] = read_block(0)
+                coefs[1][by, bx] = read_block(1)
+                coefs[2][by, bx] = read_block(2)
+    else:
+        nby, nbx = (h + 7) // 8, (w + 7) // 8
+        coefs = [np.zeros((nby, nbx, 8, 8), dtype=np.float64) for _ in comps]
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(n_comp):
+                    coefs[ci][by, bx] = read_block(ci)
+
     planes = []
     for c in coefs:
         rec = np.einsum("ji,abjk,kl->abil", _DCTM, c, _DCTM) + 128.0
-        planes.append(np.clip(_unblocks(rec, h, w), 0.0, 255.0))
+        nby_, nbx_ = rec.shape[:2]
+        planes.append(np.clip(_unblocks(rec, nby_ * 8, nbx_ * 8), 0.0, 255.0))
     if n_comp == 1:
-        out = np.repeat(planes[0][..., None], 3, axis=2)
+        out = np.repeat(planes[0][:h, :w][..., None], 3, axis=2)
         return np.clip(np.round(out), 0, 255).astype(np.uint8)
-    return _ycbcr_to_bgr(*planes)
+    if sub:
+        y = planes[0][:h, :w]
+        cbcr = [
+            np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)[:h, :w]
+            for p in planes[1:]
+        ]
+        return _ycbcr_to_bgr(y, *cbcr)
+    return _ycbcr_to_bgr(*(p[:h, :w] for p in planes))

@@ -12,15 +12,15 @@ end-to-end paths and one stub:
   (``decode_png``; round-trippable via ``encode_png``) — full
   chunk/CRC walk, all five scanline filters reconstructed, vectorized
   PLTE lookup; round-trip tested per filter.
-* JPEG (baseline sequential, 8-bit grayscale or YCbCr 4:4:4) payloads
-  are decoded for real by a pure-numpy huffman+IDCT decoder
+* JPEG (baseline sequential, 8-bit grayscale, YCbCr 4:4:4 or 4:2:0)
+  payloads are decoded for real by a pure-numpy huffman+IDCT decoder
   (``jpeg.decode_jpeg``; ``jpeg.encode_jpeg`` returns payload AND the
   exact expected decode, so the lossy round trip is bit-exact-tested).
 * WAV (RIFF/PCM, 8- or 16-bit) payloads are decoded for real by a
   pure-python chunk parser (``decode_wav``; round-trippable via
   ``encode_wav``) — duration / RMS / zero-crossing / amplitude-histogram
   features, golden-sample tested.
-* remaining formats (progressive/subsampled JPEG, 16-bit/interlaced
+* remaining formats (progressive/arithmetic JPEG, 16-bit/interlaced
   PNG, compressed audio, video) are STUBBED — they genuinely need
   codec libraries or out-of-scope decode machinery this container
   lacks: with ``allow_fake=False`` the kernel raises

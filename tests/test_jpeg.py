@@ -97,3 +97,24 @@ def test_jpeg_via_multimodal_dispatch(spark):
     feats = decode_and_featurize(media, allow_fake=False).collect()
     assert len(feats) == 1
     assert list(feats[0].feature) == list(_image_features(expected))
+
+
+def test_jpeg_420_subsampling_bit_exact():
+    """4:2:0 — the layout real cameras/web encoders emit: 2x2 luma
+    blocks per MCU, box-filtered chroma, nearest upsampling. Bit-exact
+    against the encoder's replayed expectation at odd and 16-multiple
+    dimensions; chroma loss exceeds 4:4:4 at equal quality."""
+    img = _gradient(37, 29)
+    p444, e444 = encode_jpeg(img, quality=90, subsample="444")
+    p420, e420 = encode_jpeg(img, quality=90, subsample="420")
+    assert (decode_jpeg(p420) == e420).all()
+    assert len(p420) < len(p444)  # half the chroma blocks
+    err444 = np.abs(e444.astype(int) - img.astype(int)).mean()
+    err420 = np.abs(e420.astype(int) - img.astype(int)).mean()
+    assert err420 > err444  # subsampling is lossier
+
+    noise = np.random.RandomState(5).randint(0, 256, (32, 48, 3), np.uint8)
+    p, e = encode_jpeg(noise, quality=85, subsample="420")
+    assert (decode_jpeg(p) == e).all()
+    p, e = encode_jpeg(img[:1, :1], quality=90, subsample="420")  # 1x1 edge
+    assert (decode_jpeg(p) == e).all()
