@@ -32,7 +32,7 @@ from .operators.pagerank import pagerank
 from .operators.partitioner import balanced_partition
 from .operators.similarity import brute_force_topk
 from .operators.triangles import triangle_count
-from .sources.corpus import synthesize_corpus
+from .sources.corpus import synthesize_corpus_modular
 from .sources.fk_graphs import (
     ORDER_OFFSET,
     PART_OFFSET,
@@ -134,6 +134,63 @@ r{i} AS (SELECT v.id,
                          + coalesce(s.s, 0)) AS rank
         FROM verts v LEFT JOIN s{i} s ON v.id = s.dst_id)"""
     return pre + body + f"\nSELECT id, round(rank, 10) AS rank FROM r{steps} ORDER BY id"
+
+
+def _pagerank_dynamic_sql(
+    edges_sql: str,
+    max_steps: int,
+    tol: str = "1e-6",
+    tail: str = "SELECT id, round(rank, 10) AS rank FROM final ORDER BY id",
+) -> str:
+    """Power iteration with a DYNAMIC stop — iterate-to-convergence IS
+    SQL-expressible once the instance's step count is bounded: unroll
+    ``max_steps`` exact supersteps (same update rule as _pagerank_sql),
+    compute every step's L-inf delta alongside, let K = the first step
+    with delta < tol (the runner's strict-< rule, the exact
+    ``converged=lambda m: m["max_delta"] < tol`` check pagerank passes
+    to SuperstepRunner.run), and emit r_K. If no step converges inside
+    the unroll the query emits r_{max_steps}, which mismatches the
+    Spark result LOUDLY instead of passing silently — so the bound is
+    self-policing. Step CTEs are MATERIALIZED: each r_i is referenced
+    by r_{i+1}, by two deltas, and by the final union, and DuckDB's
+    default inlining would otherwise replicate the whole prefix per
+    reference (exponential blowup)."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({edges_sql}),
+verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges
+                                   UNION ALL SELECT dst_id FROM edges)),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts),
+outw AS MATERIALIZED (SELECT src_id, sum(weight) AS wo FROM edges GROUP BY 1),
+norm AS MATERIALIZED (SELECT src_id, dst_id, weight / wo AS frac
+         FROM edges JOIN outw USING (src_id)),
+r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT c FROM nn) AS rank FROM verts)"""
+    body = ""
+    for i in range(1, max_steps + 1):
+        p = i - 1
+        body += f""",
+d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{p}
+        WHERE id NOT IN (SELECT src_id FROM outw)),
+s{i} AS (SELECT dst_id, sum(r{p}.rank * frac) AS s
+        FROM norm JOIN r{p} ON r{p}.id = norm.src_id GROUP BY 1),
+r{i} AS MATERIALIZED (SELECT v.id,
+               0.15 / (SELECT c FROM nn)
+               + 0.85 * ((SELECT dm FROM d{i}) / (SELECT c FROM nn)
+                         + coalesce(s.s, 0)) AS rank
+        FROM verts v LEFT JOIN s{i} s ON v.id = s.dst_id),
+dl{i} AS (SELECT max(abs(a.rank - b.rank)) AS d
+        FROM r{i} a JOIN r{p} b USING (id))"""
+    dls = "\nUNION ALL ".join(
+        f"SELECT {i} AS i, (SELECT d FROM dl{i}) AS d"
+        for i in range(1, max_steps + 1)
+    )
+    allr = "\nUNION ALL ".join(
+        f"SELECT {i} AS i, id, rank FROM r{i}" for i in range(1, max_steps + 1)
+    )
+    return pre + body + f""",
+dls AS ({dls}),
+kk AS (SELECT coalesce(min(i), {max_steps}) AS k FROM dls WHERE d < {tol}),
+final AS (SELECT id, rank FROM ({allr}) u WHERE i = (SELECT k FROM kk))
+{tail}"""
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,9 +789,13 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-_ORACLE_EMB_TOPK = """
+def _emb_topk_sql(where: str) -> str:
+    """Brute-force cosine top-5 oracle over a query-side predicate —
+    shared by embedding_topk (numpy-kernel path) and embedding_ivf_topk
+    (full-probe IVF path): two physical operators, one semantic truth."""
+    return f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id < 5),
+           FROM embeddings WHERE {where}),
 c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
       FROM embeddings),
 scored AS (
@@ -748,6 +809,10 @@ ranked AS (
 SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
+
+
+_ORACLE_EMB_TOPK = _emb_topk_sql("vec_id < 5")
+_ORACLE_EMB_IVF = _emb_topk_sql("vec_id >= 5 AND vec_id < 10")
 
 
 _EMB_NEAR_PARAMS = {"threshold": 0.5, "n_planes": 6, "n_tables": 12,
@@ -834,10 +899,20 @@ FROM scored GROUP BY 1 ORDER BY 1
 
 
 # --------------------------------------------------------------------------
-# non-SQL-expressible (rows-only checks): iterative convergence, LSH, corpus
+# iterative / ANN / corpus queries (dynamic-stop and invariant oracles;
+# only balanced_partition remains rows-only)
 # --------------------------------------------------------------------------
 
 def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank iterated TO CONVERGENCE (tol 1e-6) on the supplier→part
+    graph — previously rows-only, now fully oracled: the DuckDB oracle
+    unrolls the power iteration with a dynamic stop (first step whose
+    L-inf delta < tol, the runner's exact strict-< rule), so the
+    convergence CONTROL FLOW is checked, not just a fixed step count
+    (_pagerank_dynamic_sql). The graph converges in 2 supersteps at
+    sf0.01 (bipartite: every part vertex is dangling, so mass mixes in
+    one bounce); the unroll bound of 8 leaves slack and is
+    self-policing — an unconverged unroll mismatches loudly."""
     e = supplier_part_edges(spark, sf_dir)
     ranks, _ = pagerank(spark, e, tol=1e-6, max_iter=100)
     return ranks.select("id", F.round("rank", 10).alias("rank")).orderBy("id")
@@ -948,15 +1023,23 @@ ORDER BY doc_a, doc_b
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-ANN (KMeans coarse quantizer, probe 2 of 4 cells) top-5 for
-    the first 5 vectors. Rows-only: the codebook is an ML fit, not
-    SQL-reproducible; exactness when probing ALL cells and recall under
-    partial probing are verified in tests (test_ivf_topk_*)."""
+    """IVF-ANN (KMeans coarse quantizer) top-5 for query vectors 5-9,
+    probing ALL 4 cells — previously rows-only, now fully oracled: full
+    probe makes IVF exactly equal to brute force (the operator's
+    invariant), so the entire pipeline — sampled codebook fit, corpus
+    cell assignment, probe-cell selection, cell equi-join, scoring,
+    global top-k window — is checked against plain brute-force SQL
+    regardless of what codebook KMeans produced. Partial-probe recall
+    (n_probe < n_cells, the 100-TB pruning path) stays a pytest
+    property (test_dedup_similarity ivf tests): THAT answer depends on
+    the ML codebook, which no SQL reproduces. Queries 5-9 (vs 0-4 for
+    embedding_topk) so the two operators are checked on disjoint
+    instances."""
     from .operators.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
-    out = ivf_topk(q, emb, k=5, n_cells=4, n_probe=2)
+    q = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    out = ivf_topk(q, emb, k=5, n_cells=4, n_probe=4)
     return out.select(
         "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
     ).orderBy("query_id", "rank")
@@ -1057,8 +1140,6 @@ def q_corpus_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to (repo, path) via the derived vertex table so DuckDB can
     reproduce it bit-for-bit (reference precedent: the tensor-name
     equi-join IS the reference's graph construction, graph.py:7-24)."""
-    from .sources.corpus import synthesize_corpus_modular
-
     files = synthesize_corpus_modular(spark, n_files=500, n_repos=10)
     g = derive_edges(files)
     src_v = g.vertices.select(
@@ -1078,40 +1159,57 @@ def q_corpus_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bit-exact replica: regenerate the modular corpus (printf arithmetic),
 # replicate _IMPORT_RE['python'] and the '# module:' header regex
 # (functions/text.py:24,51) in RE2, then the same equi-join + group-by.
-_ORACLE_CORPUS_EDGES = r"""
-WITH files AS MATERIALIZED (
-  SELECT i,
-         printf('src/m%07d.py', i) AS path,
-         printf('# module: mod_%07d', i) || chr(10) ||
-         'import mod_0000000' || chr(10) ||
-         array_to_string(
-           list_transform(generate_series(0, CAST(i % 7 AS INT)),
-             k -> printf('import mod_%07d', (i*31 + k*17 + 1) % 500)),
-           chr(10)) ||
-         chr(10) || 'def main():' || chr(10) || '    return 0' AS content
-  FROM range(500) t(i)),
-defs AS (
-  SELECT path AS dst_path,
-         regexp_extract(content, '# module: ([A-Za-z0-9_.]+)', 1) AS symbol
-  FROM files
-  WHERE regexp_extract(content, '# module: ([A-Za-z0-9_.]+)', 1) <> ''),
-refs AS (
-  SELECT path AS src_path,
-         unnest(regexp_extract_all(content,
-            '(?m)^\s*(?:import|from)\s+([A-Za-z_][A-Za-z0-9_.]*)', 1)) AS symbol
-  FROM files)
-SELECT r.src_path, d.dst_path, CAST(count(*) AS DOUBLE) AS weight
-FROM refs r JOIN defs d USING (symbol)
-WHERE r.src_path <> d.dst_path
-GROUP BY 1, 2
-ORDER BY 1, 2
+# Path-keyed edge body (src_id/dst_id ARE paths) — shared between the
+# corpus_edges oracle and the corpus_pipeline convergence oracle.
+_SQL_CORPUS_EDGES = r"""
+  WITH files AS MATERIALIZED (
+    SELECT i,
+           printf('src/m%07d.py', i) AS path,
+           printf('# module: mod_%07d', i) || chr(10) ||
+           'import mod_0000000' || chr(10) ||
+           array_to_string(
+             list_transform(generate_series(0, CAST(i % 7 AS INT)),
+               k -> printf('import mod_%07d', (i*31 + k*17 + 1) % 500)),
+             chr(10)) ||
+           chr(10) || 'def main():' || chr(10) || '    return 0' AS content
+    FROM range(500) t(i)),
+  defs AS (
+    SELECT path AS dst_path,
+           regexp_extract(content, '# module: ([A-Za-z0-9_.]+)', 1) AS symbol
+    FROM files
+    WHERE regexp_extract(content, '# module: ([A-Za-z0-9_.]+)', 1) <> ''),
+  refs AS (
+    SELECT path AS src_path,
+           unnest(regexp_extract_all(content,
+              '(?m)^\s*(?:import|from)\s+([A-Za-z_][A-Za-z0-9_.]*)', 1)) AS symbol
+    FROM files)
+  SELECT r.src_path AS src_id, d.dst_path AS dst_id,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM refs r JOIN defs d USING (symbol)
+  WHERE r.src_path <> d.dst_path
+  GROUP BY 1, 2
+"""
+
+_ORACLE_CORPUS_EDGES = f"""
+WITH e AS ({_SQL_CORPUS_EDGES})
+SELECT src_id AS src_path, dst_id AS dst_path, weight
+FROM e ORDER BY 1, 2
 """
 
 
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full north-rule pipeline at test scale: synthesize corpus →
-    derive edges → PageRank to 1e-6 → top 20. Deterministic."""
-    files = synthesize_corpus(spark, n_files=500, n_repos=10, seed=42)
+    derive edges (Arrow-UDF regex extraction + symbol equi-join) →
+    PageRank TO CONVERGENCE (1e-6) → top 20 — previously rows-only, now
+    fully oracled end-to-end: the corpus is the SQL-reproducible
+    modular variant (same shape/hub/self-import structure as the
+    xxhash64 one, sources/corpus.py:82-118), the edge half is
+    _SQL_CORPUS_EDGES (same recipe the green corpus_edges query
+    checks), and the convergence tail uses the dynamic-stop unroll
+    (_pagerank_dynamic_sql; 18 supersteps to 1e-6 at this instance,
+    bound 26). The xxhash64 corpus keeps exercising the synthesis path
+    in bench.py and the parity tests."""
+    files = synthesize_corpus_modular(spark, n_files=500, n_repos=10)
     g = derive_edges(files)
     ranks, _ = pagerank(spark, g.edges, tol=1e-6, max_iter=100)
     return (
@@ -1120,6 +1218,19 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "repo", "path")
         .limit(20)
     )
+
+
+# repo of file i = repo_{i % 10}; i is recoverable from the path
+# ('src/m%07d.py' → digits at offset 6), so the tail needs no extra
+# vertex table. ORDER BY the ROUNDED rank, exactly like the Spark side.
+_ORACLE_CORPUS_PIPELINE = _pagerank_dynamic_sql(
+    _SQL_CORPUS_EDGES,
+    max_steps=26,
+    tail="""
+SELECT printf('repo_%04d', CAST(substr(id, 6, 7) AS INT) % 10) AS repo,
+       id AS path, round(rank, 8) AS rank
+FROM final ORDER BY rank DESC, repo, path LIMIT 20""",
+)
 
 
 # --------------------------------------------------------------------------
@@ -1161,12 +1272,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_topk": (q_embedding_topk, _ORACLE_EMB_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, _ORACLE_EMB_NEAR),
     "lang_id_counts": (q_lang_id_counts, _ORACLE_LANG_ID),
-    # rows-only (non-SQL-expressible)
-    "pagerank_converged": (q_pagerank_converged, None),
+    "pagerank_converged": (q_pagerank_converged,
+                           _pagerank_dynamic_sql(_SQL_EDGES, max_steps=8)),
     "minhash_near_dups": (q_minhash_near_dups, _ORACLE_MINHASH),
     "simhash_near_dups": (q_simhash_near_dups, _ORACLE_SIMHASH),
-    "embedding_ivf_topk": (q_embedding_ivf_topk, None),
-    "balanced_partition": (q_balanced_partition, None),
+    "embedding_ivf_topk": (q_embedding_ivf_topk, _ORACLE_EMB_IVF),
     "corpus_edges": (q_corpus_edges, _ORACLE_CORPUS_EDGES),
-    "corpus_pipeline": (q_corpus_pipeline, None),
+    "corpus_pipeline": (q_corpus_pipeline, _ORACLE_CORPUS_PIPELINE),
+    # rows-only (the one genuinely non-SQL-expressible op left: the
+    # hill-climb's move acceptance depends on a distributed priority-
+    # coloring independent set — checked by pytest invariants instead)
+    "balanced_partition": (q_balanced_partition, None),
 }
