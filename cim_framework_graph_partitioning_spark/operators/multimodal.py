@@ -20,14 +20,21 @@ end-to-end paths and one stub:
   pure-python chunk parser (``decode_wav``; round-trippable via
   ``encode_wav``) — duration / RMS / zero-crossing / amplitude-histogram
   features, golden-sample tested.
+* AVI (RIFF container, Motion-JPEG 'vids' stream) payloads are decoded
+  for real by ``video.decode_avi_mjpeg`` — the container walk reuses
+  the WAV chunk grammar (plus nested LISTs) and every frame runs the
+  numpy JPEG decoder; ``video.encode_avi_mjpeg`` replays the per-frame
+  quantization loss so the lossy VIDEO round trip is bit-exact-tested.
+  ``extract_frames`` samples real frames by byte-slicing '00dc' chunks
+  (no pixel decode on the sampling path).
 * remaining formats (progressive/arithmetic JPEG, 16-bit/interlaced
-  PNG, compressed audio, video) are STUBBED — they genuinely need
-  codec libraries or out-of-scope decode machinery this container
-  lacks: with ``allow_fake=False`` the kernel raises
-  ``NotImplementedError``; with the default ``allow_fake=True`` it
-  computes a deterministic fake 'decode' (bucketed byte histogram,
-  numpy-vectorized across the whole Arrow batch) so the downstream
-  feature pipeline is exercised end-to-end.
+  PNG, compressed audio, non-MJPEG video — MP4/H.264/VP9 and friends)
+  are STUBBED — they genuinely need codec libraries or out-of-scope
+  decode machinery this container lacks: with ``allow_fake=False`` the
+  kernel raises ``NotImplementedError``; with the default
+  ``allow_fake=True`` it computes a deterministic fake 'decode'
+  (bucketed byte histogram, numpy-vectorized across the whole Arrow
+  batch) so the downstream feature pipeline is exercised end-to-end.
 
 Dispatch is by DECODABILITY, not magic bytes: a payload that merely
 starts with "BM"/"RIFF" but fails to parse falls back to the fake path
@@ -417,11 +424,48 @@ def _wav_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
     )
 
 
+# feature extraction decodes at most this many evenly-strided frames per
+# video so per-payload pixel cost is bounded regardless of clip length
+_VIDEO_SAMPLE_FRAMES = 8
+
+
+def _video_features(
+    frames: list[np.ndarray], fps: float, n_total: int
+) -> np.ndarray:
+    """16-dim feature from decoded MJPEG frames (an evenly-strided
+    sample of the clip): [w, h, n_frames_total, fps, duration_sec,
+    mean gray, std gray, motion (mean |frame delta|), 8-bin normalized
+    gray histogram] — pixel math numpy-vectorized over the stacked
+    sample."""
+    if not frames:
+        return np.concatenate(
+            ([0.0, 0.0, float(n_total), fps, n_total / fps if fps else 0.0,
+              0.0, 0.0, 0.0], np.zeros(8))
+        )
+    stack = np.stack(frames).astype("float64")  # (n, h, w, 3)
+    gray = stack.mean(axis=3)
+    motion = (
+        float(np.abs(np.diff(gray, axis=0)).mean()) if len(frames) > 1 else 0.0
+    )
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 256.0))
+    hist = hist / max(1, gray.size)
+    h, w = frames[0].shape[:2]
+    return np.concatenate(
+        (
+            [float(w), float(h), float(n_total), fps,
+             n_total / fps if fps else 0.0,
+             float(gray.mean()), float(gray.std()), motion],
+            hist,
+        )
+    )
+
+
 def _try_decode(payload: bytes) -> np.ndarray | None:
     """Attempt every real codec; None means 'no real path decodes this'.
     Decodability — not magic bytes — decides the route, so a corrupt
     'BM'/'RIFF'/PNG prefix degrades to the fake path instead of failing
-    the whole mapInPandas task."""
+    the whole mapInPandas task. RIFF payloads disambiguate on the form
+    type: 'WAVE' takes the PCM path, 'AVI ' the MJPEG video path."""
     if payload[:2] == b"BM":
         try:
             return _image_features(decode_bmp(payload))
@@ -440,6 +484,15 @@ def _try_decode(payload: bytes) -> np.ndarray | None:
         except ValueError:
             return None
     if payload[:4] == b"RIFF":
+        if payload[8:12] == b"AVI ":
+            from .video import decode_avi_mjpeg, parse_avi
+
+            try:
+                n_raw = len(parse_avi(payload)[0])
+                stride = max(1, -(-n_raw // _VIDEO_SAMPLE_FRAMES))
+                return _video_features(*decode_avi_mjpeg(payload, stride))
+            except ValueError:
+                return None
         try:
             return _wav_features(*decode_wav(payload))
         except ValueError:
@@ -474,11 +527,12 @@ def decode_and_featurize(media: DataFrame, allow_fake: bool = True) -> DataFrame
     """mapInPandas pipeline: binary payload → fixed-dim feature vector.
 
     Batch shape: each Arrow batch is a pandas DataFrame with a
-    ``payload`` column of bytes objects. Decodable BMP and PNG payloads
+    ``payload`` column of bytes objects. Decodable BMP/PNG/JPEG payloads
     take the real pixel paths, decodable WAV payloads the real RIFF/PCM
-    path (each decode numpy-vectorized internally — the per-payload loop
-    is inherent to variable-length binary and stays out of every
-    registered hot path). Everything else is the stub: raise with
+    path, decodable MJPEG-AVI payloads the real video path (frame-
+    strided so pixel cost is bounded per clip; each decode is
+    numpy-vectorized internally — the per-payload loop is inherent to
+    variable-length binary and stays out of every registered hot path). Everything else is the stub: raise with
     ``allow_fake=False`` (an explicit no-fakes request is honored even
     if an external codec library happens to be importable — no silent
     fake features, ever), else a deterministic fake feature computed
@@ -494,8 +548,8 @@ def decode_and_featurize(media: DataFrame, allow_fake: bool = True) -> DataFrame
             if not allow_fake and any(r is None for r in real):
                 raise NotImplementedError(
                     "payload not decodable by the built-in BMP/PNG/JPEG/"
-                    "WAV codecs and allow_fake=False; pass allow_fake="
-                    "True for deterministic fake features"
+                    "WAV/MJPEG-AVI codecs and allow_fake=False; pass "
+                    "allow_fake=True for deterministic fake features"
                 )
             fake = _fake_features([
                 p for p, r in zip(payloads, real) if r is None
@@ -520,10 +574,58 @@ def decode_and_featurize(media: DataFrame, allow_fake: bool = True) -> DataFrame
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+def extract_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL video frame sampling: parse each MJPEG-AVI payload's RIFF
+    container and emit every ``every_n``-th stored frame as its own row
+    — (media_id, frame_idx, frame_payload) where frame_payload is a
+    standalone baseline JPEG (``jpeg.decode_jpeg`` decodes it directly).
+
+    Sampling is byte slicing on the container walk (``video.parse_avi``)
+    — no entropy/pixel decode happens on this path, so cost scales with
+    container bytes, not pixels. Non-AVI video payloads (stub formats)
+    contribute no rows. The frame fan-out happens inside mapInPandas,
+    so output rows shard with the input partitioning."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .video import parse_avi
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            outs: list[bytes] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    raw = parse_avi(bytes(p or b""))[0]
+                except ValueError:
+                    continue  # not a real (MJPEG-AVI) video payload
+                for i in range(0, len(raw), every_n):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    outs.append(raw[i])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_payload": pd.Series(outs, dtype=object),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(
+            kernel, "media_id long, frame_idx int, frame_payload binary"
+        )
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame
-    index (real decoder would attach the frame payload). Pure column
-    ops — the frame index fan-out is an explode, which shards."""
+    """Video frame-sampling plumbing from METADATA alone: one output row
+    per sampled frame index (``extract_frames`` is the payload-driven
+    real path that attaches actual frame bytes). Pure column ops — the
+    frame index fan-out is an explode, which shards."""
     n = F.coalesce(F.col("meta.n_frames"), F.lit(0))
     idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n))
     return (
