@@ -49,7 +49,7 @@ holds at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.barrier import PlanBarrier, release_checkpoint
@@ -149,6 +149,7 @@ def balanced_partition(
     seed: int = 42,
     objective_mode: str = "default",
     pipeline_batch: int = 8,
+    init_part: Column | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Partition vertices into k balanced parts minimizing weighted edge
     cut. Returns (assignment(id, part), round_history).
@@ -166,6 +167,17 @@ def balanced_partition(
     OBJECTIVE_MODES above — the reference's strategy flags,
     calc_cost.py:360-371); ``pipeline_batch`` is the B factor of the
     "pipelined" mode (reference cp.batch_size role).
+
+    ``init_part`` optionally overrides the initial assignment with a
+    column expression over the vertex id (e.g. ``pmod(id, k)``) so the
+    whole run is replicable in engines without Spark's seeded xxhash64
+    — the same hash-family-parameterization trick the minhash oracle
+    uses. The engine default stays seeded xxhash64: at scale a modular
+    init is vulnerable to adversarial/regular id spacing, a salted hash
+    is not. Everything downstream of the init is hash-free, so one
+    deterministic init makes the full hill-climb cross-engine-exact
+    (weights are integral ⇒ every gain/load comparison is
+    bit-reproducible IEEE arithmetic).
     """
     if objective_mode not in OBJECTIVE_MODES:
         raise ValueError(f"objective_mode must be one of {OBJECTIVE_MODES}")
@@ -180,12 +192,12 @@ def balanced_partition(
     )
 
     barrier = PlanBarrier(spark, tag="partitioner")
-    best = barrier.cut(
-        verts.select(
-            "id",
-            F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(k)).cast("int").alias("part"),
-        )
+    part0 = (
+        init_part
+        if init_part is not None
+        else F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(k))
     )
+    best = barrier.cut(verts.select("id", part0.cast("int").alias("part")))
 
     best_obj, cut, ssq, loads_map = exact_objective(
         und, best, lam, objective_mode, pipeline_batch, k=k, return_loads=True

@@ -1045,9 +1045,149 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _balanced_partition_sql(
+    k: int = 4, rounds: int = 10, lam: float = 0.05,
+    moves_per_round: int = 8192,
+) -> str:
+    """Full DuckDB replica of the k-way hill-climb on the co-supplier
+    graph (default objective mode, ``pmod(id, k)`` init — see
+    ``balanced_partition``'s ``init_part``). Every round unrolls to:
+    candidate gains (join + window argmax), top-M cap, the priority-
+    coloring independent set (edge join + NOT EXISTS), and the
+    SEQUENTIAL acceptance fold as a recursive CTE that carries the k
+    part loads as columns and the accepted moves as zipped lists.
+
+    Cross-engine exactness: edge weights are integral doubles, loads
+    are integers, and every float expression replicates the engine's
+    operation order (lam literals as ``0.05e0`` DOUBLEs — DuckDB parses
+    bare ``0.05`` as DECIMAL), so each gain/acceptance comparison is
+    bit-identical IEEE arithmetic, not a tolerance match. Early-break
+    rounds (no kept / no accepted move) are no-ops here by fixpoint:
+    with an unchanged assignment the same empty move set recurs, so
+    unrolling all ``rounds`` rounds equals the engine's break.
+
+    Every non-recursive CTE is MATERIALIZED (DuckDB inlines CTEs by
+    default; assign/loads are referenced several times per round)."""
+
+    def nl(j: int) -> str:  # load of part j after applying move m
+        return (
+            f"(f.l{j} + (CASE WHEN m.p_dst = {j} THEN 1 ELSE 0 END)"
+            f" - (CASE WHEN m.p_cur = {j} THEN 1 ELSE 0 END))"
+        )
+
+    parts = range(k)
+    cur_ssq = " + ".join(f"f.l{j} * f.l{j}" for j in parts)
+    trial_ssq = " + ".join(f"{nl(j)} * {nl(j)}" for j in parts)
+    accept = (
+        f"(-(m.w - m.w_int) + ({lam}e0 * CAST({trial_ssq} AS DOUBLE)"
+        f" - {lam}e0 * CAST({cur_ssq} AS DOUBLE))) < 0.0e0"
+    )
+    state_cols = ", ".join(
+        f"max(CASE WHEN part = {j} THEN load END) AS l{j}" for j in parts
+    )
+    load_case = "CASE p.part " + " ".join(
+        f"WHEN {j} THEN s.l{j}" for j in parts
+    ) + " END"
+
+    pre = f"""
+WITH RECURSIVE
+sp AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.s AS src_id, b.s AS dst_id
+  FROM sp a JOIN sp b ON a.p = b.p WHERE a.s < b.s),
+und AS MATERIALIZED (
+  SELECT src_id, dst_id, CAST(sum(w) AS DOUBLE) AS weight FROM (
+    SELECT src_id, dst_id, 1.0e0 AS w FROM e0
+    UNION ALL
+    SELECT dst_id, src_id, 1.0e0 FROM e0) GROUP BY 1, 2),
+verts AS MATERIALIZED (SELECT DISTINCT src_id AS id FROM und),
+assign_0 AS MATERIALIZED (SELECT id, CAST(id % {k} AS INT) AS part FROM verts),
+loads_0 AS MATERIALIZED (
+  SELECT CAST(p.part AS INT) AS part, CAST(coalesce(c.cnt, 0) AS BIGINT) AS load
+  FROM range(0, {k}) AS p(part)
+  LEFT JOIN (SELECT part, count(*) AS cnt FROM assign_0 GROUP BY 1) c
+    ON c.part = p.part),
+state_0 AS MATERIALIZED (SELECT {state_cols} FROM loads_0)"""
+
+    body = ""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        body += f""",
+wto_{r} AS MATERIALIZED (
+  SELECT u.src_id, a.part AS p_dst, sum(u.weight) AS w
+  FROM und u JOIN assign_{p} a ON u.dst_id = a.id GROUP BY 1, 2),
+wint_{r} AS MATERIALIZED (
+  SELECT w.src_id, w.p_dst, w.w, c.part AS p_cur,
+         coalesce(max(CASE WHEN w.p_dst = c.part THEN w.w END)
+                  OVER (PARTITION BY w.src_id), 0.0e0) AS w_int
+  FROM wto_{r} w JOIN assign_{p} c ON w.src_id = c.id),
+cand_{r} AS MATERIALIZED (
+  SELECT t.src_id, t.p_dst, t.p_cur, t.w, t.w_int,
+         (t.w - t.w_int) - ({lam}e0 * 2.0e0)
+           * (CAST(lt.load - lc.load AS DOUBLE) + 1.0e0) AS gain
+  FROM wint_{r} t
+  JOIN loads_{p} lc ON lc.part = t.p_cur
+  JOIN loads_{p} lt ON lt.part = t.p_dst
+  WHERE t.p_dst <> t.p_cur),
+topm_{r} AS MATERIALIZED (
+  SELECT src_id, p_cur, p_dst, w, w_int, gain FROM (
+    SELECT *, row_number() OVER (PARTITION BY src_id
+                                 ORDER BY gain DESC, p_dst ASC) AS rn
+    FROM cand_{r} WHERE gain > 0.0e0) WHERE rn = 1
+  ORDER BY gain DESC, src_id ASC LIMIT {moves_per_round}),
+losers_{r} AS MATERIALIZED (
+  SELECT DISTINCT CASE WHEN ma.gain > mb.gain
+                       OR (ma.gain = mb.gain AND u.src_id < u.dst_id)
+                  THEN u.dst_id ELSE u.src_id END AS src_id
+  FROM und u
+  JOIN topm_{r} ma ON ma.src_id = u.src_id
+  JOIN topm_{r} mb ON mb.src_id = u.dst_id
+  WHERE u.src_id < u.dst_id),
+kept_{r} AS MATERIALIZED (
+  SELECT t.*, row_number() OVER (ORDER BY t.gain DESC, t.src_id ASC) AS i
+  FROM topm_{r} t
+  WHERE NOT EXISTS (SELECT 1 FROM losers_{r} l WHERE l.src_id = t.src_id)),
+fold_{r} AS (
+  SELECT CAST(0 AS BIGINT) AS i, {', '.join(f's.l{j}' for j in parts)},
+         CAST([] AS BIGINT[]) AS mids, CAST([] AS INT[]) AS mparts
+  FROM state_{p} s
+  UNION ALL
+  SELECT f.i + 1,
+         {', '.join(f'CASE WHEN {accept} THEN {nl(j)} ELSE f.l{j} END'
+                    for j in parts)},
+         CASE WHEN {accept} THEN list_append(f.mids, m.src_id)
+              ELSE f.mids END,
+         CASE WHEN {accept} THEN list_append(f.mparts, m.p_dst)
+              ELSE f.mparts END
+  FROM fold_{r} f JOIN kept_{r} m ON m.i = f.i + 1),
+fin_{r} AS MATERIALIZED (SELECT * FROM fold_{r} ORDER BY i DESC LIMIT 1),
+state_{r} AS MATERIALIZED (
+  SELECT {', '.join(f'l{j}' for j in parts)} FROM fin_{r}),
+loads_{r} AS MATERIALIZED (
+  SELECT CAST(p.part AS INT) AS part, {load_case} AS load
+  FROM state_{r} s, range(0, {k}) AS p(part)),
+applied_{r} AS MATERIALIZED (
+  SELECT unnest(mids) AS id, unnest(mparts) AS part FROM fin_{r}),
+assign_{r} AS MATERIALIZED (
+  SELECT a.id, CAST(coalesce(m.part, a.part) AS INT) AS part
+  FROM assign_{p} a LEFT JOIN applied_{r} m ON a.id = m.id)"""
+    return pre + body + f"\nSELECT id, part FROM assign_{rounds} ORDER BY id"
+
+
 def q_balanced_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-way balanced partition of the co-supplier graph, 10 hill-climb
+    rounds — previously the last rows-only driver query, now fully
+    oracled: with a ``pmod(id, k)`` init (the engine default stays
+    seeded xxhash64 — ``init_part`` docstring) every downstream step of
+    the hill-climb is deterministic, integral-weight IEEE arithmetic,
+    so ``_balanced_partition_sql`` replays the ENTIRE algorithm —
+    candidate gains, priority-coloring independent set, sequential
+    move-acceptance fold — bit-exactly in DuckDB."""
     e = co_supplier_edges(spark, sf_dir)
-    assignment, _ = balanced_partition(spark, e, k=4, max_rounds=10)
+    assignment, _ = balanced_partition(
+        spark, e, k=4, max_rounds=10,
+        init_part=F.pmod(F.col("id"), F.lit(4)),
+    )
     return assignment.orderBy("id")
 
 
@@ -1279,8 +1419,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_ivf_topk": (q_embedding_ivf_topk, _ORACLE_EMB_IVF),
     "corpus_edges": (q_corpus_edges, _ORACLE_CORPUS_EDGES),
     "corpus_pipeline": (q_corpus_pipeline, _ORACLE_CORPUS_PIPELINE),
-    # rows-only (the one genuinely non-SQL-expressible op left: the
-    # hill-climb's move acceptance depends on a distributed priority-
-    # coloring independent set — checked by pytest invariants instead)
-    "balanced_partition": (q_balanced_partition, None),
+    # the last former rows-only entry: the full hill-climb (priority-
+    # coloring independent set + sequential acceptance fold) replayed
+    # bit-exactly in DuckDB via a recursive-CTE unroll
+    "balanced_partition": (q_balanced_partition, _balanced_partition_sql()),
 }

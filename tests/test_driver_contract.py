@@ -24,6 +24,10 @@ SAMPLE = [
     "events_sessions",
     "doc_token_stats",
     "embedding_topk",
+    # the recursive-CTE hill-climb replica (the last former rows-only
+    # entry) — cheap at sf0.001 (10 suppliers) but exercises the whole
+    # candidate/coloring/acceptance unroll
+    "balanced_partition",
 ]
 
 
