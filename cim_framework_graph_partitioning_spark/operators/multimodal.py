@@ -16,10 +16,13 @@ end-to-end paths and one stub:
   payloads are decoded for real by a pure-numpy huffman+IDCT decoder
   (``jpeg.decode_jpeg``; ``jpeg.encode_jpeg`` returns payload AND the
   exact expected decode, so the lossy round trip is bit-exact-tested).
-* WAV (RIFF/PCM, 8- or 16-bit) payloads are decoded for real by a
-  pure-python chunk parser (``decode_wav``; round-trippable via
-  ``encode_wav``) — duration / RMS / zero-crossing / amplitude-histogram
-  features, golden-sample tested.
+* WAV (RIFF) payloads are decoded for real by a pure-python chunk
+  parser (``decode_wav``; round-trippable via ``encode_wav``) —
+  PCM 8/16-bit PLUS three real COMPRESSED encodings from
+  ``operators.audio``: G.711 μ-law, G.711 A-law (both all-256-codes
+  bijection-tested), and mono IMA ADPCM (lossy round trip bit-exact
+  via the encoder-replay contract). Duration / RMS / zero-crossing /
+  amplitude-histogram features, golden-sample tested.
 * AVI (RIFF container, Motion-JPEG 'vids' stream) payloads are decoded
   for real by ``video.decode_avi_mjpeg`` — the container walk reuses
   the WAV chunk grammar (plus nested LISTs) and every frame runs the
@@ -28,8 +31,8 @@ end-to-end paths and one stub:
   ``extract_frames`` samples real frames by byte-slicing '00dc' chunks
   (no pixel decode on the sampling path).
 * remaining formats (progressive/arithmetic JPEG, 16-bit/interlaced
-  PNG, compressed audio, non-MJPEG video — MP4/H.264/VP9 and friends)
-  are STUBBED — they genuinely need codec libraries or out-of-scope
+  PNG, library-bound compressed audio — MP3/AAC/FLAC/Vorbis — and
+  non-MJPEG video — MP4/H.264/VP9 and friends) are STUBBED — they genuinely need codec libraries or out-of-scope
   decode machinery this container lacks: with ``allow_fake=False`` the
   kernel raises ``NotImplementedError``; with the default
   ``allow_fake=True`` it computes a deterministic fake 'decode'
@@ -331,15 +334,19 @@ def encode_png(img: np.ndarray, filter_type: int | str = 0) -> bytes:
 # --- WAV codec (pure python/numpy, no external libraries) ------------------
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a RIFF/WAVE payload with PCM (format 1) 8- or 16-bit
-    samples — the plain uncompressed layout every tool emits. Returns
-    (samples, sample_rate) where samples is float64 shaped
-    (n_frames, n_channels) normalized to [-1, 1]. Raises ValueError on
-    any other format or a truncated/non-WAV payload."""
+    """Decode a RIFF/WAVE payload: PCM (format 1) 8- or 16-bit — the
+    plain uncompressed layout every tool emits — plus the three REAL
+    compressed encodings from ``operators.audio``: G.711 μ-law
+    (format 7), G.711 A-law (format 6), and mono IMA ADPCM
+    (format 0x11, using the fact chunk's sample count to trim block
+    padding). Returns (samples, sample_rate) where samples is float64
+    shaped (n_frames, n_channels) normalized to [-1, 1]. Raises
+    ValueError on any other format or a truncated/non-WAV payload."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt = None
     data = None
+    fact_samples = None
     pos = 12
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -347,6 +354,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             fmt = body
+        elif cid == b"fact" and len(body) >= 4:
+            fact_samples = int.from_bytes(body[:4], "little")
         elif cid == b"data":
             if len(body) < size:
                 raise ValueError("truncated WAV data chunk")
@@ -358,14 +367,42 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
-        raise ValueError(f"unsupported WAV variant fmt={audio_format} bits={bits}")
-    if bits == 16:
+    if n_channels < 1:
+        raise ValueError("bad WAV channel count")
+    if audio_format == 1 and bits == 16:
         raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
         samples = raw.astype("float64") / 32768.0
-    else:  # 8-bit WAV is unsigned, midpoint 128
+    elif audio_format == 1 and bits == 8:  # 8-bit PCM is unsigned
         raw = np.frombuffer(data, dtype=np.uint8)
         samples = (raw.astype("float64") - 128.0) / 128.0
+    elif audio_format in (6, 7) and bits == 8:  # G.711 A-law / μ-law
+        from .audio import alaw_decode, ulaw_decode
+
+        dec = ulaw_decode if audio_format == 7 else alaw_decode
+        samples = (
+            dec(np.frombuffer(data, dtype=np.uint8)).astype("float64")
+            / 32768.0
+        )
+    elif audio_format == 0x11 and bits == 4 and n_channels == 1:
+        from .audio import adpcm_decode
+
+        block_align = int.from_bytes(fmt[12:14], "little")
+        if block_align < 5:
+            raise ValueError("bad ADPCM block align")
+        spb = (block_align - 4) * 2 + 1
+        n_samp = (
+            fact_samples
+            if fact_samples is not None
+            else (len(data) // block_align) * spb
+        )
+        samples = (
+            adpcm_decode(data, block_align, n_samp).astype("float64")
+            / 32768.0
+        )
+    else:
+        raise ValueError(
+            f"unsupported WAV variant fmt={audio_format} bits={bits}"
+        )
     n_frames = samples.size // n_channels
     return samples[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
 
