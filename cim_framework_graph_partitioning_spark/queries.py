@@ -1174,6 +1174,56 @@ assign_{r} AS MATERIALIZED (
     return pre + body + f"\nSELECT id, part FROM assign_{rounds} ORDER BY id"
 
 
+_ORACLE_MEDIA_FEATURES = """
+WITH ids AS (SELECT range AS id FROM range(0, 96)),
+m AS MATERIALIZED (
+  SELECT id, ['image', 'audio', 'video'][CAST(id % 3 AS INT) + 1] AS kind,
+         repeat(sha256('42' || CAST(id AS VARCHAR)), 4) AS h
+  FROM ids),
+b AS MATERIALIZED (
+  SELECT m.id, m.kind, p.p AS pos,
+         (strpos('0123456789abcdef', substr(m.h, 2 * p.p + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(m.h, 2 * p.p + 2, 1)) - 1)
+           AS byte
+  FROM m, range(0, 128) AS p(p)),
+s AS MATERIALIZED (
+  SELECT id, kind, CAST(pos % 16 AS INT) AS bucket,
+         CAST(sum(byte) AS DOUBLE) AS bsum
+  FROM b GROUP BY 1, 2, 3),
+t AS MATERIALIZED (SELECT id, sum(bsum) AS total FROM s GROUP BY 1)
+SELECT s.id AS media_id, s.kind, s.bucket, s.bsum / t.total AS value,
+       CAST(128 AS BIGINT) AS n_bytes
+FROM s JOIN t USING (id) ORDER BY media_id, bucket
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal mapInPandas feature kernel in the driver harness
+    (previously pytest-only): a deterministic synthesized media table
+    (payload = raw bytes of sha256-hex repeated 4x — self-synthesized
+    input, the corpus-query precedent) flows through
+    ``decode_and_featurize``. No payload parses under any real codec,
+    so every row takes the batch-vectorized FAKE path — bucketed byte
+    histogram, L1-normalized — whose arithmetic is replicable in DuckDB
+    hex math (bucket sums are integral, the one float division is the
+    same IEEE op both sides). Features flatten via posexplode so the
+    compare stays scalar-valued. The REAL codec paths are lossy-codec
+    pytest territory (bit-exact encoder-replay tests); this row pins
+    the Spark-side kernel plumbing: batch shapes, dispatch, schema."""
+    from .operators.multimodal import decode_and_featurize, synthesize_media
+
+    media = synthesize_media(spark, n=96, seed=42)
+    feats = decode_and_featurize(media)
+    return (
+        feats.select(
+            "media_id", "kind", "n_bytes",
+            F.posexplode("feature").alias("bucket", "value"),
+        )
+        .select("media_id", "kind", "bucket", "value", "n_bytes")
+        .orderBy("media_id", "bucket")
+    )
+
+
 def q_balanced_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-way balanced partition of the co-supplier graph, 10 hill-climb
     rounds — previously the last rows-only driver query, now fully
@@ -1423,4 +1473,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # coloring independent set + sequential acceptance fold) replayed
     # bit-exactly in DuckDB via a recursive-CTE unroll
     "balanced_partition": (q_balanced_partition, _balanced_partition_sql()),
+    # multimodal kernel plumbing (fake-path byte-histogram features are
+    # exact hex arithmetic; real codecs are pytest bit-exact territory)
+    "media_features": (q_media_features, _ORACLE_MEDIA_FEATURES),
 }

@@ -28,6 +28,8 @@ SAMPLE = [
     # entry) — cheap at sf0.001 (10 suppliers) but exercises the whole
     # candidate/coloring/acceptance unroll
     "balanced_partition",
+    # multimodal kernel plumbing vs the DuckDB hex-arithmetic replica
+    "media_features",
 ]
 
 
