@@ -7,11 +7,12 @@ end-to-end paths and one stub:
 * BMP (uncompressed 24-bit BI_RGB) payloads are decoded for real by a
   pure-numpy parser (``decode_bmp``; round-trippable via ``encode_bmp``)
   — no external image library needed, golden-pixel tested.
-* PNG (8-bit gray/RGB/palette/gray+alpha/RGBA, non-interlaced)
-  payloads are decoded for real by a stdlib-zlib + numpy parser
-  (``decode_png``; round-trippable via ``encode_png``) — full
-  chunk/CRC walk, all five scanline filters reconstructed, vectorized
-  PLTE lookup; round-trip tested per filter.
+* PNG (8- and 16-bit gray/RGB/palette/gray+alpha/RGBA, non-interlaced
+  AND Adam7 interlaced) payloads are decoded for real by a
+  stdlib-zlib + numpy parser (``decode_png``; round-trippable via
+  ``encode_png``) — full chunk/CRC walk, all five scanline filters
+  reconstructed per (sub-)image, vectorized PLTE lookup, 16-bit
+  high-byte fold; round-trip tested per filter, depth, and interlace.
 * JPEG (baseline sequential, 8-bit grayscale, YCbCr 4:4:4 or 4:2:0)
   payloads are decoded for real by a pure-numpy huffman+IDCT decoder
   (``jpeg.decode_jpeg``; ``jpeg.encode_jpeg`` returns payload AND the
@@ -30,8 +31,8 @@ end-to-end paths and one stub:
   quantization loss so the lossy VIDEO round trip is bit-exact-tested.
   ``extract_frames`` samples real frames by byte-slicing '00dc' chunks
   (no pixel decode on the sampling path).
-* remaining formats (progressive/arithmetic JPEG, 16-bit/interlaced
-  PNG, library-bound compressed audio — MP3/AAC/FLAC/Vorbis — and
+* remaining formats (progressive/arithmetic JPEG, sub-byte-depth PNG,
+  library-bound compressed audio — MP3/AAC/FLAC/Vorbis — and
   non-MJPEG video — MP4/H.264/VP9 and friends) are STUBBED — they genuinely need codec libraries or out-of-scope
   decode machinery this container lacks: with ``allow_fake=False`` the
   kernel raises ``NotImplementedError``; with the default
@@ -166,22 +167,71 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit-depth non-interlaced PNG (color types 0 gray,
-    2 RGB, 3 palette, 4 gray+alpha, 6 RGBA) using only stdlib zlib +
-    numpy: chunk walk with CRC validation, IDAT inflate, and full
-    reconstruction of all five scanline filters
-    (None/Sub/Up/Average/Paeth); palette images resolve through one
-    vectorized PLTE lookup. Returns (height, width, 3) uint8 in BGR
-    channel order to match ``decode_bmp`` (alpha dropped, gray
-    replicated). Raises ValueError on 16-bit/sub-byte-depth/interlaced
-    variants or a corrupt payload.
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Sub is reconstructed as a per-row modular cumsum (vectorized);
-    Up is one vectorized add against the prior row; Average/Paeth are
-    sequential in x by definition, so those rows walk pixel groups with
-    the channel lanes vectorized. Per-image decode cost sits inside the
-    mapInPandas kernel, not in any registered hot path."""
+
+def _png_recon(raw: np.ndarray, n_rows: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering for one (sub-)image. ``raw`` is the
+    filtered stream (n_rows x (1 + stride) bytes), ``bpp`` the filter
+    byte-lane stride (channels x bytes-per-sample — PNG filters operate
+    on BYTES, so 16-bit images just use wider lanes). Sub is a per-row
+    modular cumsum (vectorized); Up one vectorized add against the
+    prior row; Average/Paeth are sequential in x by definition, so
+    those rows walk pixel groups with the byte lanes vectorized."""
+    raw = raw.reshape(n_rows, stride + 1)
+    npix = stride // bpp
+    recon = np.zeros((n_rows, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(n_rows):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 1:  # Sub: modular cumsum per byte lane
+            rec = line.reshape(npix, bpp).cumsum(axis=0) % 256
+            rec = rec.reshape(stride)
+        elif ftype == 2:  # Up
+            rec = (line + prior) % 256
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            rec2 = np.zeros((npix, bpp), dtype=np.int32)
+            line2 = line.reshape(npix, bpp)
+            prior2 = prior.reshape(npix, bpp).astype(np.int32)
+            a = np.zeros(bpp, dtype=np.int32)
+            c = np.zeros(bpp, dtype=np.int32)
+            for x in range(npix):
+                b = prior2[x]
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pred = _paeth(a, b, c)
+                a = (line2[x] + pred) % 256
+                rec2[x] = a
+                c = b
+            rec = rec2.reshape(stride)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prior = rec.astype(np.uint8)
+        recon[y] = prior
+    return recon
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8- or 16-bit-depth PNG (color types 0 gray, 2 RGB,
+    3 palette, 4 gray+alpha, 6 RGBA), non-interlaced OR Adam7
+    interlaced, using only stdlib zlib + numpy: chunk walk with CRC
+    validation, IDAT inflate, and full reconstruction of all five
+    scanline filters (None/Sub/Up/Average/Paeth) per (sub-)image;
+    palette images resolve through one vectorized PLTE lookup; 16-bit
+    samples fold to 8 via the standard high-byte take. Returns
+    (height, width, 3) uint8 in BGR channel order to match
+    ``decode_bmp`` (alpha dropped, gray replicated). Raises ValueError
+    on sub-byte depths (1/2/4-bit) or a corrupt payload. Per-image
+    decode cost sits inside the mapInPandas kernel, not in any
+    registered hot path."""
     import zlib
 
     if len(payload) < 45 or payload[:8] != _PNG_SIG:
@@ -214,7 +264,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, comp, filt, interlace = ihdr[8:13]
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+    if (
+        depth not in (8, 16) or channels is None or comp != 0 or filt != 0
+        or interlace not in (0, 1) or (depth == 16 and color == 3)
+    ):
         raise ValueError(
             f"unsupported PNG variant depth={depth} color={color} "
             f"interlace={interlace}"
@@ -227,43 +280,33 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    stride = w * channels
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG scanline size mismatch")
-    raw = raw.reshape(h, stride + 1)
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ftype = int(raw[y, 0])
-        line = raw[y, 1:].astype(np.int32)
-        if ftype == 0:  # None
-            rec = line
-        elif ftype == 1:  # Sub: modular cumsum per channel lane
-            rec = line.reshape(w, channels).cumsum(axis=0) % 256
-            rec = rec.reshape(stride)
-        elif ftype == 2:  # Up
-            rec = (line + prior) % 256
-        elif ftype in (3, 4):  # Average / Paeth: sequential in x
-            rec2 = np.zeros((w, channels), dtype=np.int32)
-            line2 = line.reshape(w, channels)
-            prior2 = prior.reshape(w, channels).astype(np.int32)
-            a = np.zeros(channels, dtype=np.int32)
-            c = np.zeros(channels, dtype=np.int32)
-            for x in range(w):
-                b = prior2[x]
-                if ftype == 3:
-                    pred = (a + b) >> 1
-                else:
-                    pred = _paeth(a, b, c)
-                a = (line2[x] + pred) % 256
-                rec2[x] = a
-                c = b
-            rec = rec2.reshape(stride)
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        prior = rec.astype(np.uint8)
-        recon[y] = prior
-    px = recon.reshape(h, w, channels)
+    bpp = channels * (depth // 8)
+    if interlace == 0:
+        stride = w * bpp
+        if raw.size != h * (stride + 1):
+            raise ValueError("PNG scanline size mismatch")
+        pxb = _png_recon(raw, h, stride, bpp).reshape(h, w, bpp)
+    else:  # Adam7: seven independently-filtered sub-images
+        pxb = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = max(0, -(-(w - x0) // dx))
+            hp = max(0, -(-(h - y0) // dy))
+            if wp == 0 or hp == 0:
+                continue  # empty pass for small images, no bytes at all
+            stride = wp * bpp
+            need = hp * (stride + 1)
+            if raw.size < pos + need:
+                raise ValueError("PNG interlace stream truncated")
+            sub = _png_recon(raw[pos : pos + need], hp, stride, bpp)
+            pxb[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+            pos += need
+        if pos != raw.size:
+            raise ValueError("PNG scanline size mismatch")
+    if depth == 16:  # big-endian pairs; standard 16→8 high-byte take
+        px = pxb[..., 0::2].copy()
+    else:
+        px = pxb
     if color == 2:
         return px[..., ::-1].copy()  # RGB -> BGR
     if color == 3:
@@ -277,39 +320,76 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.repeat(px[..., :1], 3, axis=2)  # gray(±alpha) -> BGR
 
 
-def encode_png(img: np.ndarray, filter_type: int | str = 0) -> bytes:
-    """Encode (h, w, 3) uint8 BGR pixels as an 8-bit RGB PNG — the
-    inverse of ``decode_png`` (round-trip tested). ``filter_type``
-    selects the scanline filter: 0-4, or "mixed" to cycle through all
-    five (exercises every reconstruction path in the decoder). Filtering
-    at encode time is fully vectorized per row (predictors are computed
-    from the known raw pixels)."""
+def encode_png(
+    img: np.ndarray,
+    filter_type: int | str = 0,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Encode (h, w, 3) uint8 BGR pixels as an RGB PNG — the inverse of
+    ``decode_png`` (round-trip tested). ``filter_type`` selects the
+    scanline filter: 0-4, or "mixed" to cycle through all five
+    (exercises every reconstruction path in the decoder).
+    ``depth=16`` expands each sample as ``x * 257`` (the standard
+    8→16 widening), so the decoder's high-byte take round-trips the
+    source bit-exactly; ``interlace=1`` emits Adam7 (seven
+    independently-filtered sub-images). Filtering at encode time is
+    fully vectorized per row (predictors are computed from the known
+    raw pixels)."""
     import zlib
 
     img = np.asarray(img, dtype=np.uint8)
     h, w, c = img.shape
     assert c == 3, "expect BGR channels"
-    raw = img[..., ::-1].reshape(h, w * 3).astype(np.int32)  # BGR -> RGB
-    zero = np.zeros(3, dtype=np.int32)
-    body = bytearray()
-    for y in range(h):
-        ft = (y % 5) if filter_type == "mixed" else int(filter_type)
-        line = raw[y]
-        a = np.concatenate([zero, line[:-3]])  # left neighbor, per lane
-        b = raw[y - 1] if y else np.zeros(w * 3, dtype=np.int32)
-        c_ = np.concatenate([zero, b[:-3]]) if y else np.zeros(w * 3, dtype=np.int32)
-        if ft == 0:
-            filt = line
-        elif ft == 1:
-            filt = line - a
-        elif ft == 2:
-            filt = line - b
-        elif ft == 3:
-            filt = line - ((a + b) >> 1)
-        else:
-            filt = line - _paeth(a, b, c_)
-        body.append(ft)
-        body += (filt % 256).astype(np.uint8).tobytes()
+    if depth not in (8, 16) or interlace not in (0, 1):
+        raise ValueError("depth must be 8/16, interlace 0/1")
+    rgb = img[..., ::-1]  # BGR -> RGB
+    if depth == 16:
+        samp = rgb.astype(np.uint16) * 257
+        pxb = np.zeros((h, w, 6), dtype=np.uint8)
+        pxb[..., 0::2] = (samp >> 8).astype(np.uint8)  # big-endian pairs
+        pxb[..., 1::2] = (samp & 0xFF).astype(np.uint8)
+    else:
+        pxb = rgb
+    bpp = pxb.shape[2]
+
+    def filt_sub(sub: np.ndarray) -> bytes:
+        hp, wp = sub.shape[:2]
+        raw = sub.reshape(hp, wp * bpp).astype(np.int32)
+        zero = np.zeros(bpp, dtype=np.int32)
+        out = bytearray()
+        for y in range(hp):
+            ft = (y % 5) if filter_type == "mixed" else int(filter_type)
+            line = raw[y]
+            a = np.concatenate([zero, line[:-bpp]])  # left, per byte lane
+            b = raw[y - 1] if y else np.zeros(wp * bpp, dtype=np.int32)
+            c_ = (
+                np.concatenate([zero, b[:-bpp]])
+                if y
+                else np.zeros(wp * bpp, dtype=np.int32)
+            )
+            if ft == 0:
+                filt = line
+            elif ft == 1:
+                filt = line - a
+            elif ft == 2:
+                filt = line - b
+            elif ft == 3:
+                filt = line - ((a + b) >> 1)
+            else:
+                filt = line - _paeth(a, b, c_)
+            out.append(ft)
+            out += (filt % 256).astype(np.uint8).tobytes()
+        return bytes(out)
+
+    if interlace == 0:
+        body = filt_sub(pxb)
+    else:
+        body = b"".join(
+            filt_sub(pxb[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if pxb[y0::dy, x0::dx].size  # empty passes emit no bytes
+        )
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -321,12 +401,12 @@ def encode_png(img: np.ndarray, filter_type: int | str = 0) -> bytes:
 
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no interlace
+        + bytes([depth, 2, 0, 0, interlace])  # RGB, deflate, adaptive
     )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IDAT", zlib.compress(body))
         + chunk(b"IEND", b"")
     )
 

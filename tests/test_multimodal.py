@@ -274,16 +274,69 @@ def test_png_roundtrip_all_filters_and_variants():
             decode_png(bad)
 
     # refused: palette WITHOUT a PLTE chunk (palette itself is supported
-    # — see test_png_palette_decode), 16-bit depth, interlaced
+    # — see test_png_palette_decode), sub-byte depth (1/2/4-bit), and
+    # 16-bit palette (spec-invalid combination)
     ih = (3).to_bytes(4, "big") + (3).to_bytes(4, "big")
-    for variant in [bytes([8, 3, 0, 0, 0]), bytes([16, 2, 0, 0, 0]),
-                    bytes([8, 2, 0, 0, 1])]:
+    for variant in [bytes([8, 3, 0, 0, 0]), bytes([4, 0, 0, 0, 0]),
+                    bytes([16, 3, 0, 0, 0])]:
         pay = (
             _PNG_SIG + chunk(b"IHDR", ih + variant)
             + chunk(b"IDAT", zlib.compress(b"\x00" * 30)) + chunk(b"IEND", b"")
         )
         with pytest.raises(ValueError):
             decode_png(pay)
+
+
+def test_png_16bit_and_adam7_interlace():
+    """The two formerly-stubbed PNG variants are real now: depth-16
+    (byte-pair lanes through the same filters, high-byte fold on
+    decode; encoder widens x*257 so round trips are exact) and Adam7
+    interlacing (seven independently-filtered sub-images), in every
+    filter mode and in combination — including dimensions small enough
+    to leave some passes empty."""
+    import pytest
+
+    from cim_framework_graph_partitioning_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(13, 9), (3, 3), (1, 1), (8, 2)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ft in [0, 4, "mixed"]:
+            for depth in (8, 16):
+                for inter in (0, 1):
+                    pay = encode_png(img, ft, depth=depth, interlace=inter)
+                    out = decode_png(pay)
+                    assert (out == img).all(), (h, w, ft, depth, inter)
+    # 16-bit payloads really are wider on the wire
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assert len(encode_png(img, depth=16)) > len(encode_png(img, depth=8))
+    # truncated interlace stream raises (not a silent partial image)
+    pay = encode_png(img, 0, interlace=1)
+    import zlib as _z
+
+    # rebuild with an IDAT holding half the filtered stream
+    body = _z.decompress(pay[pay.find(b"IDAT") + 4 : pay.find(b"IEND") - 4])
+    half = _z.compress(body[: len(body) // 2])
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (_z.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    from cim_framework_graph_partitioning_spark.operators.multimodal import (
+        _PNG_SIG,
+    )
+
+    ih = (16).to_bytes(4, "big") + (16).to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 1]
+    )
+    bad = _PNG_SIG + chunk(b"IHDR", ih) + chunk(b"IDAT", half) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad)
 
 
 def test_real_mixed_codecs_end_to_end(spark):
