@@ -7,12 +7,14 @@ end-to-end paths and one stub:
 * BMP (uncompressed 24-bit BI_RGB) payloads are decoded for real by a
   pure-numpy parser (``decode_bmp``; round-trippable via ``encode_bmp``)
   — no external image library needed, golden-pixel tested.
-* PNG (8- and 16-bit gray/RGB/palette/gray+alpha/RGBA, non-interlaced
-  AND Adam7 interlaced) payloads are decoded for real by a
+* PNG payloads are decoded for real at EVERY static-spec
+  depth/color/interlace combination (1/2/4/8/16-bit where allowed x
+  gray/RGB/palette/gray+alpha/RGBA x non-interlaced/Adam7) by a
   stdlib-zlib + numpy parser (``decode_png``; round-trippable via
   ``encode_png``) — full chunk/CRC walk, all five scanline filters
-  reconstructed per (sub-)image, vectorized PLTE lookup, 16-bit
-  high-byte fold; round-trip tested per filter, depth, and interlace.
+  reconstructed per (sub-)image, vectorized PLTE lookup, MSB-first
+  sub-byte unpack, 16-bit high-byte fold; round-trip tested per
+  filter, depth, and interlace.
 * JPEG (baseline sequential, 8-bit grayscale, YCbCr 4:4:4 or 4:2:0)
   payloads are decoded for real by a pure-numpy huffman+IDCT decoder
   (``jpeg.decode_jpeg``; ``jpeg.encode_jpeg`` returns payload AND the
@@ -31,9 +33,9 @@ end-to-end paths and one stub:
   quantization loss so the lossy VIDEO round trip is bit-exact-tested.
   ``extract_frames`` samples real frames by byte-slicing '00dc' chunks
   (no pixel decode on the sampling path).
-* remaining formats (progressive/arithmetic JPEG, sub-byte-depth PNG,
-  library-bound compressed audio — MP3/AAC/FLAC/Vorbis — and
-  non-MJPEG video — MP4/H.264/VP9 and friends) are STUBBED — they genuinely need codec libraries or out-of-scope
+* remaining formats (progressive/arithmetic JPEG, library-bound
+  compressed audio — MP3/AAC/FLAC/Vorbis — and non-MJPEG video —
+  MP4/H.264/VP9 and friends) are STUBBED — they genuinely need codec libraries or out-of-scope
   decode machinery this container lacks: with ``allow_fake=False`` the
   kernel raises ``NotImplementedError``; with the default
   ``allow_fake=True`` it computes a deterministic fake 'decode'
@@ -220,18 +222,19 @@ def _png_recon(raw: np.ndarray, n_rows: int, stride: int, bpp: int) -> np.ndarra
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8- or 16-bit-depth PNG (color types 0 gray, 2 RGB,
-    3 palette, 4 gray+alpha, 6 RGBA), non-interlaced OR Adam7
-    interlaced, using only stdlib zlib + numpy: chunk walk with CRC
-    validation, IDAT inflate, and full reconstruction of all five
-    scanline filters (None/Sub/Up/Average/Paeth) per (sub-)image;
-    palette images resolve through one vectorized PLTE lookup; 16-bit
-    samples fold to 8 via the standard high-byte take. Returns
+    """Decode a static PNG at EVERY spec depth/color/interlace
+    combination (color types 0 gray, 2 RGB, 3 palette, 4 gray+alpha,
+    6 RGBA; depths 1/2/4/8/16 where the spec allows them;
+    non-interlaced or Adam7) using only stdlib zlib + numpy: chunk walk
+    with CRC validation, IDAT inflate, and full reconstruction of all
+    five scanline filters (None/Sub/Up/Average/Paeth) per (sub-)image;
+    palette images resolve through one vectorized PLTE lookup;
+    sub-byte rows unpack MSB-first (gray levels scale to full 8-bit);
+    16-bit samples fold to 8 via the standard high-byte take. Returns
     (height, width, 3) uint8 in BGR channel order to match
     ``decode_bmp`` (alpha dropped, gray replicated). Raises ValueError
-    on sub-byte depths (1/2/4-bit) or a corrupt payload. Per-image
-    decode cost sits inside the mapInPandas kernel, not in any
-    registered hot path."""
+    on a corrupt payload. Per-image decode cost sits inside the
+    mapInPandas kernel, not in any registered hot path."""
     import zlib
 
     if len(payload) < 45 or payload[:8] != _PNG_SIG:
@@ -264,9 +267,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, comp, filt, interlace = ihdr[8:13]
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    # the full static-PNG depth matrix (spec §11.2.2): gray allows
+    # 1/2/4/8/16, palette 1/2/4/8, the multi-channel types 8/16
+    allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
     if (
-        depth not in (8, 16) or channels is None or comp != 0 or filt != 0
-        or interlace not in (0, 1) or (depth == 16 and color == 3)
+        channels is None or depth not in allowed[color] or comp != 0
+        or filt != 0 or interlace not in (0, 1)
     ):
         raise ValueError(
             f"unsupported PNG variant depth={depth} color={color} "
@@ -280,31 +287,50 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    bpp = channels * (depth // 8)
+    # filter byte-lane stride: channels x bytes-per-sample, floor 1
+    # (sub-byte depths filter on whole packed bytes, spec §9.2)
+    bpp = max(1, channels * depth // 8)
+    pxdim = channels * (depth // 8) if depth >= 8 else 1
+
+    def sub_stride(wp: int) -> int:  # scanline bytes for wp pixels
+        return wp * pxdim if depth >= 8 else -(-wp * depth // 8)
+
+    def sub_pixels(part: np.ndarray, hp: int, wp: int) -> np.ndarray:
+        """Reconstruct one (sub-)image to (hp, wp, pxdim) samples —
+        sub-byte rows unpack MSB-first after unfiltering."""
+        rec = _png_recon(part, hp, sub_stride(wp), bpp)
+        if depth >= 8:
+            return rec.reshape(hp, wp, pxdim)
+        bits = np.unpackbits(rec, axis=1)[:, : wp * depth]
+        bits = bits.reshape(hp, wp, depth).astype(np.int32)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        return (bits * weights).sum(axis=2).astype(np.uint8)[..., None]
+
     if interlace == 0:
-        stride = w * bpp
-        if raw.size != h * (stride + 1):
+        if raw.size != h * (sub_stride(w) + 1):
             raise ValueError("PNG scanline size mismatch")
-        pxb = _png_recon(raw, h, stride, bpp).reshape(h, w, bpp)
+        pxb = sub_pixels(raw, h, w)
     else:  # Adam7: seven independently-filtered sub-images
-        pxb = np.zeros((h, w, bpp), dtype=np.uint8)
+        pxb = np.zeros((h, w, pxdim), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             wp = max(0, -(-(w - x0) // dx))
             hp = max(0, -(-(h - y0) // dy))
             if wp == 0 or hp == 0:
                 continue  # empty pass for small images, no bytes at all
-            stride = wp * bpp
-            need = hp * (stride + 1)
+            need = hp * (sub_stride(wp) + 1)
             if raw.size < pos + need:
                 raise ValueError("PNG interlace stream truncated")
-            sub = _png_recon(raw[pos : pos + need], hp, stride, bpp)
-            pxb[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+            pxb[y0::dy, x0::dx] = sub_pixels(raw[pos : pos + need], hp, wp)
             pos += need
         if pos != raw.size:
             raise ValueError("PNG scanline size mismatch")
     if depth == 16:  # big-endian pairs; standard 16→8 high-byte take
         px = pxb[..., 0::2].copy()
+    elif depth < 8 and color == 0:  # scale gray levels to full 8-bit
+        px = (pxb.astype(np.int32) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     else:
         px = pxb
     if color == 2:

@@ -274,10 +274,10 @@ def test_png_roundtrip_all_filters_and_variants():
             decode_png(bad)
 
     # refused: palette WITHOUT a PLTE chunk (palette itself is supported
-    # — see test_png_palette_decode), sub-byte depth (1/2/4-bit), and
+    # — see test_png_palette_decode), a spec-invalid depth (3), and
     # 16-bit palette (spec-invalid combination)
     ih = (3).to_bytes(4, "big") + (3).to_bytes(4, "big")
-    for variant in [bytes([8, 3, 0, 0, 0]), bytes([4, 0, 0, 0, 0]),
+    for variant in [bytes([8, 3, 0, 0, 0]), bytes([3, 0, 0, 0, 0]),
                     bytes([16, 3, 0, 0, 0])]:
         pay = (
             _PNG_SIG + chunk(b"IHDR", ih + variant)
@@ -337,6 +337,99 @@ def test_png_16bit_and_adam7_interlace():
     bad = _PNG_SIG + chunk(b"IHDR", ih) + chunk(b"IDAT", half) + chunk(b"IEND", b"")
     with pytest.raises(ValueError):
         decode_png(bad)
+
+
+def _pack_subbyte_png(vals, depth, color, interlace=0, plte=None):
+    """Test-side packer for sub-byte PNGs: MSB-first bit packing, filter
+    0 scanlines, optional Adam7 pass split — an independent
+    re-derivation of the spec used to cross-check the decoder."""
+    import zlib
+
+    import numpy as np
+
+    from cim_framework_graph_partitioning_spark.operators.multimodal import (
+        _ADAM7,
+        _PNG_SIG,
+    )
+
+    vals = np.asarray(vals, dtype=np.uint8)
+    h, w = vals.shape
+
+    def pack_rows(sub):
+        hp, wp = sub.shape
+        out = bytearray()
+        for y in range(hp):
+            bits = []
+            for v in sub[y]:
+                bits += [(int(v) >> (depth - 1 - i)) & 1 for i in range(depth)]
+            while len(bits) % 8:
+                bits.append(0)
+            out.append(0)  # filter None
+            out += np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+        return bytes(out)
+
+    if interlace == 0:
+        body = pack_rows(vals)
+    else:
+        body = b"".join(
+            pack_rows(vals[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if vals[y0::dy, x0::dx].size
+        )
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ih = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([depth, color, 0, 0, interlace])
+    )
+    pay = _PNG_SIG + chunk(b"IHDR", ih)
+    if plte is not None:
+        pay += chunk(b"PLTE", plte)
+    return pay + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+
+def test_png_subbyte_depths():
+    """1/2/4-bit gray and palette — the last static-PNG depths — decode
+    against independently hand-packed payloads: gray levels scale to
+    full 8-bit (0/255, x85, x17), palette indices look up PLTE, and
+    Adam7 interlacing composes with sub-byte packing (partial trailing
+    bytes per pass row)."""
+    from cim_framework_graph_partitioning_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    rng = np.random.RandomState(5)
+    for depth, scale in [(1, 255), (2, 85), (4, 17)]:
+        for h, w in [(5, 9), (3, 3), (1, 7)]:  # odd widths: partial bytes
+            vals = rng.randint(0, 1 << depth, (h, w)).astype(np.uint8)
+            for inter in (0, 1):
+                out = decode_png(
+                    _pack_subbyte_png(vals, depth, 0, interlace=inter)
+                )
+                assert out.shape == (h, w, 3), (depth, h, w, inter)
+                assert (out[..., 0] == vals * scale).all(), (depth, inter)
+                assert (out[..., 1] == out[..., 0]).all()
+
+    # 4-bit palette: indices resolve through PLTE (RGB -> BGR)
+    pal_rgb = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    vals = rng.randint(0, 16, (6, 5)).astype(np.uint8)
+    for inter in (0, 1):
+        out = decode_png(
+            _pack_subbyte_png(vals, 4, 3, interlace=inter,
+                              plte=pal_rgb.tobytes())
+        )
+        assert (out == pal_rgb[vals][..., ::-1]).all(), inter
+    # out-of-range palette index still raises at sub-byte depths
+    import pytest
+
+    short_pal = pal_rgb[:4].tobytes()  # only 4 entries, indices go to 15
+    with pytest.raises(ValueError):
+        decode_png(_pack_subbyte_png(vals, 4, 3, plte=short_pal))
 
 
 def test_real_mixed_codecs_end_to_end(spark):
