@@ -1224,6 +1224,28 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_FRAME_SAMPLE = """
+WITH ids AS (SELECT range AS id FROM range(0, 96)),
+v AS (SELECT id AS media_id FROM ids WHERE id % 3 = 2)
+SELECT v.media_id, CAST(f.f AS INT) AS frame_idx
+FROM v, generate_series(0, 119, 10) AS f(f)
+ORDER BY media_id, frame_idx
+"""
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven video frame-sampling plumbing (`frame_sample`):
+    the sequence+explode fan-out over the synthesized media table's
+    video rows (meta.n_frames = 120, every 10th frame). The
+    payload-driven real path (`extract_frames`, byte-slicing MJPEG-AVI
+    containers) is codec territory covered by the bit-exact pytest
+    round trips; this row pins the shardable explode plan."""
+    from .operators.multimodal import frame_sample, synthesize_media
+
+    media = synthesize_media(spark, n=96, seed=42)
+    return frame_sample(media, every_n=10).orderBy("media_id", "frame_idx")
+
+
 def q_balanced_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-way balanced partition of the co-supplier graph, 10 hill-climb
     rounds — previously the last rows-only driver query, now fully
@@ -1476,4 +1498,5 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # multimodal kernel plumbing (fake-path byte-histogram features are
     # exact hex arithmetic; real codecs are pytest bit-exact territory)
     "media_features": (q_media_features, _ORACLE_MEDIA_FEATURES),
+    "media_frame_sample": (q_media_frame_sample, _ORACLE_FRAME_SAMPLE),
 }
