@@ -1,20 +1,24 @@
 """Baseline JPEG codec in pure numpy + stdlib — no external libraries.
 
 Scope (honest and tested):
-* ``decode_jpeg``: baseline sequential DCT JPEG (SOF0), 8-bit,
-  grayscale, YCbCr 4:4:4, or YCbCr 4:2:0 (the camera/web layout: 2x2
-  luma blocks per MCU, chroma upsampled 2x), huffman tables and quant
-  tables read from the payload's own DHT/DQT segments. Refuses
-  progressive (SOF2), arithmetic coding, 12-bit, other samplings, and
-  restart intervals with ValueError — the decodability dispatch in
-  multimodal.py then falls back to the fake path.
-* ``encode_jpeg``: emits exactly that subset (quality-scaled Annex-K
-  style quant tables, standard huffman tables written into DHT), and
-  ALSO returns the mathematically expected decode: JPEG's loss happens
-  entirely at quantization time, which the encoder replays through the
-  identical dequantize→IDCT→color pipeline the decoder runs — so
-  ``decode_jpeg(payload) == expected`` holds BIT-EXACTLY and the lossy
-  codec gets deterministic round-trip tests.
+* ``decode_jpeg``: baseline sequential (SOF0) AND progressive huffman
+  (SOF2 — spectral selection + successive approximation, multi-scan,
+  EOB runs and refinement bits per the public libjpeg jdphuff
+  algorithms) DCT JPEG, 8-bit, grayscale, YCbCr 4:4:4, or YCbCr 4:2:0
+  (the camera/web layout: 2x2 luma blocks per MCU, chroma upsampled
+  2x), huffman tables and quant tables read from the payload's own
+  DHT/DQT segments. Refuses arithmetic coding, lossless/hierarchical
+  frames, 12-bit, other samplings, and restart intervals with
+  ValueError — the decodability dispatch in multimodal.py then falls
+  back to the fake path.
+* ``encode_jpeg`` / ``encode_jpeg_progressive``: emit exactly that
+  subset (quality-scaled Annex-K style quant tables, huffman tables
+  written into DHT), and ALSO return the mathematically expected
+  decode: JPEG's loss happens entirely at quantization time — which is
+  identical for both entropy orderings — and the encoder replays it
+  through the identical dequantize→IDCT→color pipeline the decoder
+  runs, so ``decode_jpeg(payload) == expected`` holds BIT-EXACTLY and
+  the lossy codec gets deterministic round-trip tests.
 
 Everything per-image is numpy (DCT/IDCT as 8x8 orthonormal matrix
 products over all blocks at once); only the entropy-coding bit IO is
@@ -275,20 +279,15 @@ def _encode_block(writer, zz, prev_dc, ci, dc_codes, ac_codes) -> None:
         run = 0
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    gray: bool = False,
-    subsample: str = "444",
-) -> tuple[bytes, np.ndarray]:
-    """Encode (h, w, 3) uint8 BGR pixels as a baseline JPEG — 4:4:4, or
-    4:2:0 (``subsample="420"``, the layout cameras and web encoders
-    emit: chroma box-filtered 2x2, luma 2x2 blocks per MCU), or
-    single-component grayscale (``gray=True``). Returns
-    ``(payload, expected)`` where ``expected`` is the exact uint8 BGR
-    array ``decode_jpeg(payload)`` must produce — the quantization loss
-    is replayed through the decoder's own dequantize/IDCT/upsample/
-    color pipeline, making lossy round-trips bit-exactly testable."""
+def _quantize_planes(
+    img: np.ndarray, quality: int, gray: bool, subsample: str
+) -> tuple[list[np.ndarray], list[np.ndarray], bool, np.ndarray, int, int]:
+    """Shared front half of both encoders (baseline and progressive
+    differ ONLY in entropy-coding order): color transform, optional
+    4:2:0 box filter, blockwise DCT + quantization. Returns
+    (quantized[(nby, nbx, 8, 8) int64 per comp], qtabs, sub, expected,
+    h, w) where ``expected`` replays the quantization loss through the
+    decoder's own dequantize/IDCT/upsample/color pipeline."""
     img = np.asarray(img, dtype=np.uint8)
     h, w, _ = img.shape
     if subsample not in ("444", "420"):
@@ -315,11 +314,6 @@ def encode_jpeg(
         planes = [ycc[..., i] for i in range(n_comp)]
     qtabs = [ql] + [qc] * (n_comp - 1)
 
-    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
-    ac_bits, ac_vals = _fixed_ac_spec()
-    ac_codes = _build_codes(ac_bits, ac_vals)
-
-    writer = _BitWriter()
     recon_full = []  # per component: full reconstructed padded plane
     quantized = []
     for plane, q in zip(planes, qtabs):
@@ -334,6 +328,47 @@ def encode_jpeg(
         recon_full.append(
             np.clip(_unblocks(rec, nby_ * 8, nbx_ * 8), 0.0, 255.0)
         )
+
+    if gray:
+        expected = np.repeat(recon_full[0][:h, :w][..., None], 3, axis=2)
+        expected = np.clip(np.round(expected), 0, 255).astype(np.uint8)
+    elif sub:
+        y = recon_full[0][:h, :w]
+        cbcr = [
+            np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)[:h, :w]
+            for p in recon_full[1:]
+        ]
+        expected = _ycbcr_to_bgr(y, *cbcr)
+    else:
+        expected = _ycbcr_to_bgr(*(p[:h, :w] for p in recon_full))
+    return quantized, qtabs, sub, expected, h, w
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    gray: bool = False,
+    subsample: str = "444",
+) -> tuple[bytes, np.ndarray]:
+    """Encode (h, w, 3) uint8 BGR pixels as a baseline JPEG — 4:4:4, or
+    4:2:0 (``subsample="420"``, the layout cameras and web encoders
+    emit: chroma box-filtered 2x2, luma 2x2 blocks per MCU), or
+    single-component grayscale (``gray=True``). Returns
+    ``(payload, expected)`` where ``expected`` is the exact uint8 BGR
+    array ``decode_jpeg(payload)`` must produce — the quantization loss
+    is replayed through the decoder's own dequantize/IDCT/upsample/
+    color pipeline, making lossy round-trips bit-exactly testable."""
+    quantized, qtabs, sub, expected, h, w = _quantize_planes(
+        img, quality, gray, subsample
+    )
+    ql, qc = qtabs[0], qtabs[-1]
+    n_comp = len(quantized)
+
+    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+    ac_bits, ac_vals = _fixed_ac_spec()
+    ac_codes = _build_codes(ac_bits, ac_vals)
+
+    writer = _BitWriter()
     prev_dc = [0] * n_comp
     if sub:
         nmy, nmx = quantized[1].shape[:2]  # MCU grid = chroma block grid
@@ -358,15 +393,277 @@ def encode_jpeg(
                                   prev_dc, ci, dc_codes, ac_codes)
     scan = writer.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+    payload = (
+        _headers(h, w, n_comp, sub, ql, qc, 0xC0, ac_bits, ac_vals)
+        + _seg(0xDA, bytes([n_comp]) + b"".join(
+            bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+            for cid in range(n_comp)
+        ) + bytes([0, 63, 0]))
+        + scan
+        + b"\xff\xd9"  # EOI
+    )
+    return payload, expected
+
+
+def _progressive_ac_spec() -> tuple[list[int], list[int]]:
+    """AC huffman spec for progressive scans: the baseline symbol set
+    plus the EOB-run length symbols 0x10..0xE0 (run-length category <<
+    4, ITU T.81 G.1.2.2) = 176 symbols. Kraft sum = 2/4 + 4/16 + 8/64 +
+    16/256 + 32/1024 + 64/4096 + 50/16384 = 0.9874 < 1 -> valid."""
+    order = [0x00, 0xF0] + [n << 4 for n in range(1, 15)]
+    for size in range(1, 11):
+        for run in range(16):
+            order.append((run << 4) | size)
+    bits = [0] * 17
+    for n, length in [(2, 2), (4, 4), (8, 6), (16, 8), (32, 10),
+                      (64, 12), (50, 14)]:
+        bits[length] = n
+    assert sum(bits) == len(order) == 176
+    return bits, order
+
+
+def _encode_ac_first_scan(zqc, grid, ss, se, al, ac_codes) -> bytes:
+    """Entropy-code one progressive AC 'first' scan (Ah=0): band
+    [ss, se] of every block in raster order, magnitudes point-
+    transformed by ``>> al`` (truncation toward zero), trailing zeros
+    folded into cross-block EOB runs — the jcphuff.c
+    encode_mcu_AC_first algorithm."""
+    wtr = _BitWriter()
+    eobrun = 0
+
+    def emit_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, ln = ac_codes[nb << 4]
+            wtr.write(code, ln)
+            if nb:
+                wtr.write(eobrun, nb)
+            eobrun = 0
+
+    nby, nbx = grid
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = zqc[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = -((-v) >> al) if v < 0 else v >> al
+                if t == 0:
+                    r += 1
+                    continue
+                emit_eobrun()
+                while r > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    wtr.write(code, ln)
+                    r -= 16
+                size, bits_v = _magnitude(t)
+                code, ln = ac_codes[(r << 4) | size]
+                wtr.write(code, ln)
+                wtr.write(bits_v, size)
+                r = 0
+            if r:  # trailing zeros: block ends inside an EOB run
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+    emit_eobrun()
+    return wtr.flush()
+
+
+def _encode_ac_refine_scan(zqc, grid, ss, se, al, ac_codes) -> bytes:
+    """Entropy-code one progressive AC refinement scan (Ah = al+1 ->
+    Al = al): newly-nonzero coefficients get (run, 1) symbols + sign
+    bits; already-nonzero ones get bare correction bits, buffered and
+    flushed after the next emitted symbol so the decoder meets them in
+    coefficient order — the jcphuff.c encode_mcu_AC_refine algorithm,
+    correction-bit buffering included."""
+    wtr = _BitWriter()
+    eobrun = 0
+    be: list[int] = []  # correction bits owed by blocks inside the EOB run
+
+    def put(sym: int) -> None:
+        code, ln = ac_codes[sym]
+        wtr.write(code, ln)
+
+    def emit_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            put(nb << 4)
+            if nb:
+                wtr.write(eobrun, nb)
+            eobrun = 0
+            for b in be:
+                wtr.write(b, 1)
+            be.clear()
+
+    nby, nbx = grid
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = zqc[by, bx]
+            absv = []
+            eob = ss - 1  # band index of the LAST newly-nonzero coef
+            for k in range(ss, se + 1):
+                t = abs(int(blk[k])) >> al
+                absv.append(t)
+                if t == 1:
+                    eob = k
+            r = 0
+            br: list[int] = []  # correction bits pending within this block
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    emit_eobrun()
+                    put(0xF0)  # ZRL
+                    r -= 16
+                    for b in br:
+                        wtr.write(b, 1)
+                    br = []
+                if t > 1:  # history coefficient: bare correction bit
+                    br.append(t & 1)
+                    continue
+                emit_eobrun()  # newly nonzero: (run, 1) + sign
+                put((r << 4) | 1)
+                wtr.write(0 if int(blk[k]) < 0 else 1, 1)
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+                r = 0
+            if r or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF or len(be) > 1000:
+                    emit_eobrun()
+    emit_eobrun()
+    return wtr.flush()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    gray: bool = False,
+    subsample: str = "444",
+) -> tuple[bytes, np.ndarray]:
+    """Encode (h, w, 3) uint8 BGR pixels as a PROGRESSIVE (SOF2) JPEG
+    using both progression axes: spectral selection (DC scan, then AC
+    bands 1-5 and 6-63 per component) and successive approximation
+    (first scans at point transform Al=1, then DC and AC refinement
+    scans down to Al=0). Quantization is identical to the baseline
+    encoder — progressive JPEG reorders entropy coding only — so the
+    returned ``expected`` array (same contract as ``encode_jpeg``)
+    bit-exactly matches BOTH ``decode_jpeg(payload)`` and the baseline
+    encoding of the same image."""
+    quantized, qtabs, sub, expected, h, w = _quantize_planes(
+        img, quality, gray, subsample
+    )
+    ql, qc = qtabs[0], qtabs[-1]
+    n_comp = len(quantized)
+    zq = [q.reshape(q.shape[:2] + (64,))[:, :, _ZIGZAG] for q in quantized]
+    # non-interleaved AC scans walk each component's OWN ceil(dim/8)
+    # grid; under 4:2:0 the luma plane was padded to the MCU grid, whose
+    # extra blocks only the (interleaved) DC scan covers — they decode
+    # with AC=0 and sit entirely outside the [:h, :w] crop
+    if sub:
+        acgrids = [((h + 7) // 8, (w + 7) // 8)] + [
+            q.shape[:2] for q in quantized[1:]
+        ]
+    else:
+        acgrids = [q.shape[:2] for q in quantized]
+
+    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+    ac_bits, ac_vals = _progressive_ac_spec()
+    ac_codes = _build_codes(ac_bits, ac_vals)
+    bands = ((1, 5), (6, 63))
+
+    def mcu_blocks():
+        """(scan_comp_index, zigzag block) in interleaved MCU order."""
+        if sub:
+            nmy, nmx = zq[1].shape[:2]
+            for by in range(nmy):
+                for bx in range(nmx):
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            yield 0, zq[0][2 * by + dy, 2 * bx + dx]
+                    yield 1, zq[1][by, bx]
+                    yield 2, zq[2][by, bx]
+        else:
+            nby, nbx = zq[0].shape[:2]
+            for by in range(nby):
+                for bx in range(nbx):
+                    for ci in range(n_comp):
+                        yield ci, zq[ci][by, bx]
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (t << 4) | t])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(_headers(h, w, n_comp, sub, ql, qc, 0xC2,
+                             ac_bits, ac_vals))
+
+    # scan 1: DC first, all components interleaved, Al=1 (DC point
+    # transform is an arithmetic shift, ITU T.81 G.1.2.1)
+    wtr = _BitWriter()
+    prev = [0] * n_comp
+    for ci, blk in mcu_blocks():
+        v = int(blk[0]) >> 1
+        diff = v - prev[ci]
+        prev[ci] = v
+        size, bits_v = _magnitude(diff)
+        code, ln = dc_codes[size]
+        wtr.write(code, ln)
+        if size:
+            wtr.write(bits_v, size)
+    out += sos(list(range(n_comp)), 0, 0, 0, 1) + wtr.flush()
+
+    for ci in range(n_comp):  # AC first scans, Al=1
+        for ss_, se_ in bands:
+            out += sos([ci], ss_, se_, 0, 1)
+            out += _encode_ac_first_scan(
+                zq[ci], acgrids[ci], ss_, se_, 1, ac_codes
+            )
+
+    # DC refinement: one raw bit (bit 0 of the full-precision DC) per
+    # block in MCU order, no huffman coding
+    wtr = _BitWriter()
+    for _, blk in mcu_blocks():
+        wtr.write(int(blk[0]) & 1, 1)
+    out += sos(list(range(n_comp)), 0, 0, 1, 0) + wtr.flush()
+
+    for ci in range(n_comp):  # AC refinement scans, Ah=1 -> Al=0
+        for ss_, se_ in bands:
+            out += sos([ci], ss_, se_, 1, 0)
+            out += _encode_ac_refine_scan(
+                zq[ci], acgrids[ci], ss_, se_, 0, ac_codes
+            )
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out), expected
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _headers(
+    h: int, w: int, n_comp: int, sub: bool, ql: np.ndarray, qc: np.ndarray,
+    sof_marker: int, ac_bits: list[int], ac_vals: list[int],
+) -> bytes:
+    """SOI..DHT header run shared by the baseline and progressive
+    encoders (they differ only in the SOF marker, the AC huffman spec,
+    and everything after the headers)."""
 
     def dqt(tid: int, q: np.ndarray) -> bytes:
         zz = q.reshape(64)[_ZIGZAG].astype(np.uint8)
-        return seg(0xDB, bytes([tid]) + zz.tobytes())
+        return _seg(0xDB, bytes([tid]) + zz.tobytes())
 
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
-        return seg(
+        return _seg(
             0xC4, bytes([(cls << 4) | tid]) + bytes(bits[1:17]) + bytes(vals)
         )
 
@@ -375,46 +672,223 @@ def encode_jpeg(
                0 if cid == 0 else 1])
         for cid in range(n_comp)
     )
-    sos_comps = b"".join(
-        bytes([cid + 1, 0x00 if cid == 0 else 0x11]) for cid in range(n_comp)
-    )
-    payload = (
+    return (
         b"\xff\xd8"  # SOI
-        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + dqt(0, ql)
         + (dqt(1, qc) if n_comp > 1 else b"")
-        + seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-              + bytes([n_comp]) + sof_comps)
+        + _seg(sof_marker, bytes([8]) + h.to_bytes(2, "big")
+               + w.to_bytes(2, "big") + bytes([n_comp]) + sof_comps)
         + dht(0, 0, _DC_BITS, _DC_VALS)
         + dht(1, 0, ac_bits, ac_vals)
         + (dht(0, 1, _DC_BITS, _DC_VALS) + dht(1, 1, ac_bits, ac_vals)
            if n_comp > 1 else b"")
-        + seg(0xDA, bytes([n_comp]) + sos_comps + bytes([0, 63, 0]))
-        + scan
-        + b"\xff\xd9"  # EOI
     )
-
-    if gray:
-        expected = np.repeat(recon_full[0][:h, :w][..., None], 3, axis=2)
-        expected = np.clip(np.round(expected), 0, 255).astype(np.uint8)
-    elif sub:
-        y = recon_full[0][:h, :w]
-        cbcr = [
-            np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)[:h, :w]
-            for p in recon_full[1:]
-        ]
-        expected = _ycbcr_to_bgr(y, *cbcr)
-    else:
-        expected = _ycbcr_to_bgr(*(p[:h, :w] for p in recon_full))
-    return payload, expected
 
 
 # --- decoder ----------------------------------------------------------------
 
+def _scan_end(payload: bytes, start: int) -> int:
+    """Index of the first real marker after ``start`` inside entropy
+    data (skipping 0xFF00 byte stuffing and RST markers)."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _comp_grids(frame) -> tuple[list, list]:
+    """(padded, actual) per-component block-grid shapes. ``padded`` is
+    the interleaved-MCU grid (baseline and progressive DC scans cover
+    it); ``actual`` is the component's own ceil(dim/8) grid, which is
+    all a NON-interleaved progressive AC scan transmits — padded-only
+    blocks keep AC=0, and since they lie entirely outside the cropped
+    [:h, :w] window this loses nothing."""
+    h, w, comps, sub = frame
+    cb = ((h + 7) // 8, (w + 7) // 8)
+    if sub:
+        nmy, nmx = (h + 15) // 16, (w + 15) // 16
+        return ([(2 * nmy, 2 * nmx), (nmy, nmx), (nmy, nmx)],
+                [cb, (nmy, nmx), (nmy, nmx)])
+    return [cb] * len(comps), [cb] * len(comps)
+
+
+def _ac_first_block(reader, tab, coef, ss, se, al, eobrun) -> int:
+    """Decode band [ss, se] of one block in an AC 'first' scan (Ah=0);
+    returns the updated cross-block EOB run (jdphuff.c
+    decode_mcu_AC_first)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.read_symbol(tab)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # this block closes the run too
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("bad AC run in progressive scan")
+        coef[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, tab, coef, ss, se, al, eobrun) -> int:
+    """Decode band [ss, se] of one block in an AC refinement scan
+    (Ah > 0): already-nonzero coefficients consume one correction bit
+    each, (run, 1) symbols place newly-nonzero ±(1 << al) values, EOB
+    runs cover whole blocks whose history coefficients still get their
+    correction bits — jdphuff.c decode_mcu_AC_refine, bit order
+    included."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.read_symbol(tab)
+            r, s = sym >> 4, sym & 0xF
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad AC refine size")
+                val = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            # advance over r zero-HISTORY coefficients (16 for ZRL),
+            # refining every nonzero one passed along the way
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bit() and not (coef[k] & p1):
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("AC refine overrun")
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        # rest of the block rides the EOB run: correction bits only
+        while k <= se:
+            if coef[k] != 0 and reader.read_bit() and not (coef[k] & p1):
+                coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(
+    data, frame, sel, ss, se, ah, al, dc_tabs, ac_tabs, zcoefs
+) -> None:
+    """Decode ONE progressive scan's entropy data into the per-
+    component zigzag coefficient accumulators ``zcoefs``. DC scans
+    (Ss=0) may be interleaved; AC scans are single-component and walk
+    the component's own block grid. Mirrors the public libjpeg
+    progressive decoder (jdphuff.c) for all four scan kinds."""
+    h, w, comps, sub = frame
+    if ah > 13 or al > 13:
+        raise ValueError("bad successive-approximation parameters")
+    order = {cid: i for i, (cid, _) in enumerate(comps)}
+    try:
+        idxs = [order[cid] for cid, _, _ in sel]
+    except KeyError as e:
+        raise ValueError(f"scan references unknown component {e}") from e
+    padded, actual = _comp_grids(frame)
+    reader = _BitReader(data)
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ah == 0:
+            try:
+                dc_sel = [dc_tabs[t] for _, t, _ in sel]
+            except KeyError as e:
+                raise ValueError(
+                    f"JPEG references missing table {e}"
+                ) from e
+            prev = [0] * len(sel)
+
+        def one(si: int, blk) -> None:
+            if ah == 0:
+                size = reader.read_symbol(dc_sel[si])
+                if size > 11:
+                    raise ValueError("bad DC size")
+                diff = _extend(reader.read_bits(size), size) if size else 0
+                prev[si] += diff
+                blk[0] = prev[si] << al
+            elif reader.read_bit():  # refinement: bare bit, OR into place
+                blk[0] |= 1 << al
+
+        if len(sel) > 1:  # interleaved MCU order over the padded grid
+            if idxs != list(range(len(comps))):
+                raise ValueError(
+                    "unsupported progressive scan component order"
+                )
+            if sub:
+                nmy, nmx = padded[1]
+                for by in range(nmy):
+                    for bx in range(nmx):
+                        for dy in (0, 1):
+                            for dx in (0, 1):
+                                one(0, zcoefs[0][2 * by + dy, 2 * bx + dx])
+                        one(1, zcoefs[1][by, bx])
+                        one(2, zcoefs[2][by, bx])
+            else:
+                nby, nbx = padded[0]
+                for by in range(nby):
+                    for bx in range(nbx):
+                        for si in range(len(sel)):
+                            one(si, zcoefs[idxs[si]][by, bx])
+        else:  # non-interleaved: the component's own grid
+            nby, nbx = actual[idxs[0]]
+            blocks = zcoefs[idxs[0]]
+            for by in range(nby):
+                for bx in range(nbx):
+                    one(0, blocks[by, bx])
+        return
+
+    # AC scan: exactly one component (ITU T.81 G.1.1.1.1)
+    if len(sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not ss <= se <= 63:
+        raise ValueError("bad spectral band")
+    try:
+        tab = ac_tabs[sel[0][2]]
+    except KeyError as e:
+        raise ValueError(f"JPEG references missing table {e}") from e
+    blocks = zcoefs[idxs[0]]
+    nby, nbx = actual[idxs[0]]
+    step = _ac_first_block if ah == 0 else _ac_refine_block
+    eobrun = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            eobrun = step(reader, tab, blocks[by, bx], ss, se, al, eobrun)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG (see module docstring for the
-    supported subset). Returns (h, w, 3) uint8 BGR, grayscale
-    replicated — the same contract as decode_bmp/decode_png.
+    """Decode a baseline sequential (SOF0) OR progressive huffman
+    (SOF2: spectral selection + successive approximation, multi-scan)
+    JPEG — see the module docstring for the supported subset. Returns
+    (h, w, 3) uint8 BGR, grayscale replicated — the same contract as
+    decode_bmp/decode_png.
 
     Raises ValueError on structural corruption (bad markers, truncated
     segments, missing tables, unsupported variants). Corruption INSIDE
@@ -428,8 +902,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None
+    progressive = False
     scan_info = None
     scan_data = None
+    zcoefs = None  # progressive: per-comp (nby, nbx, 64) ints, zigzag order
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -461,7 +937,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tab = _build_decoder(bits, vals)
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
                 b = b[17 + n :]
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             n_comp = body[5]
@@ -482,81 +958,123 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "unsupported JPEG sampling (4:4:4 and 4:2:0 only)"
                 )
             frame = (h, w, comps, sub)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+            if h <= 0 or w <= 0:
+                raise ValueError("bad JPEG dimensions")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+            raise ValueError(
+                "unsupported JPEG frame type (arithmetic/lossless/"
+                "hierarchical)"
+            )
         elif marker == 0xDD:  # DRI
             if int.from_bytes(body[:2], "big") != 0:
                 raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows
-            n_comp = body[0]
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
+            n_sc = body[0]
             sel = []
-            for i in range(n_comp):
+            for i in range(n_sc):
                 cid, tabs = body[1 + 2 * i : 3 + 2 * i]
                 sel.append((cid, tabs >> 4, tabs & 0xF))
-            scan_info = sel
-            scan_data = payload[pos + 2 + size :]
-            break
+            if not progressive:
+                scan_info = sel
+                scan_data = payload[pos + 2 + size :]
+                break
+            if len(body) < 4 + 2 * n_sc:
+                raise ValueError("truncated progressive SOS header")
+            ss, se = body[1 + 2 * n_sc], body[2 + 2 * n_sc]
+            ah, al = body[3 + 2 * n_sc] >> 4, body[3 + 2 * n_sc] & 0xF
+            data_start = pos + 2 + size
+            end = _scan_end(payload, data_start)
+            if zcoefs is None:
+                padded, _ = _comp_grids(frame)
+                zcoefs = [
+                    np.zeros(s + (64,), dtype=np.int32) for s in padded
+                ]
+            _progressive_scan(
+                payload[data_start:end], frame, sel, ss, se, ah, al,
+                dc_tabs, ac_tabs, zcoefs,
+            )
+            pos = end
+            continue
         pos += 2 + size
-    if frame is None or scan_info is None or scan_data is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+
+    if frame is None:
+        raise ValueError("JPEG missing SOF/SOS")
     h, w, comps, sub = frame
-    if h <= 0 or w <= 0:
-        raise ValueError("bad JPEG dimensions")
     n_comp = len(comps)
-    reader = _BitReader(scan_data)
-    prev_dc = [0] * n_comp
     try:
-        dc_sel = [dc_tabs[t_dc] for _, t_dc, _ in scan_info]
-        ac_sel = [ac_tabs[t_ac] for _, _, t_ac in scan_info]
         q_sel = [qtables[qid] for _, qid in comps]
     except KeyError as e:
         raise ValueError(f"JPEG references missing table {e}") from e
 
-    def read_block(ci: int) -> np.ndarray:
-        zz = np.zeros(64, dtype=np.int64)
-        size = reader.read_symbol(dc_sel[ci])
-        if size > 11:
-            raise ValueError("bad DC size")
-        diff = _extend(reader.read_bits(size), size) if size else 0
-        prev_dc[ci] += diff
-        zz[0] = prev_dc[ci]
-        i = 1
-        while i < 64:
-            sym = reader.read_symbol(ac_sel[ci])
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                i += 16
-                continue
-            run, size = sym >> 4, sym & 0xF
-            i += run
-            if i >= 64 or size == 0:
-                raise ValueError("bad AC run/size")
-            zz[i] = _extend(reader.read_bits(size), size)
-            i += 1
-        block = np.zeros(64, dtype=np.float64)
-        block[_ZIGZAG] = zz
-        return block.reshape(8, 8) * q_sel[ci]
-
-    if sub:
-        nmy, nmx = (h + 15) // 16, (w + 15) // 16
-        coefs = [np.zeros((2 * nmy, 2 * nmx, 8, 8)),
-                 np.zeros((nmy, nmx, 8, 8)), np.zeros((nmy, nmx, 8, 8))]
-        for by in range(nmy):
-            for bx in range(nmx):
-                for dy in (0, 1):
-                    for dx in (0, 1):
-                        coefs[0][2 * by + dy, 2 * bx + dx] = read_block(0)
-                coefs[1][by, bx] = read_block(1)
-                coefs[2][by, bx] = read_block(2)
+    if progressive:
+        if zcoefs is None:
+            raise ValueError("JPEG missing SOF/SOS")
+        coefs = []
+        for z, q in zip(zcoefs, q_sel):
+            raster = np.zeros(z.shape[:2] + (64,), dtype=np.float64)
+            raster[..., _ZIGZAG] = z
+            coefs.append(raster.reshape(z.shape[:2] + (8, 8)) * q)
     else:
-        nby, nbx = (h + 7) // 8, (w + 7) // 8
-        coefs = [np.zeros((nby, nbx, 8, 8), dtype=np.float64) for _ in comps]
-        for by in range(nby):
-            for bx in range(nbx):
-                for ci in range(n_comp):
-                    coefs[ci][by, bx] = read_block(ci)
+        if scan_info is None or scan_data is None:
+            raise ValueError("JPEG missing SOF/SOS")
+        reader = _BitReader(scan_data)
+        prev_dc = [0] * n_comp
+        try:
+            dc_sel = [dc_tabs[t_dc] for _, t_dc, _ in scan_info]
+            ac_sel = [ac_tabs[t_ac] for _, _, t_ac in scan_info]
+        except KeyError as e:
+            raise ValueError(f"JPEG references missing table {e}") from e
+
+        def read_block(ci: int) -> np.ndarray:
+            zz = np.zeros(64, dtype=np.int64)
+            size = reader.read_symbol(dc_sel[ci])
+            if size > 11:
+                raise ValueError("bad DC size")
+            diff = _extend(reader.read_bits(size), size) if size else 0
+            prev_dc[ci] += diff
+            zz[0] = prev_dc[ci]
+            i = 1
+            while i < 64:
+                sym = reader.read_symbol(ac_sel[ci])
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                i += run
+                if i >= 64 or size == 0:
+                    raise ValueError("bad AC run/size")
+                zz[i] = _extend(reader.read_bits(size), size)
+                i += 1
+            block = np.zeros(64, dtype=np.float64)
+            block[_ZIGZAG] = zz
+            return block.reshape(8, 8) * q_sel[ci]
+
+        if sub:
+            nmy, nmx = (h + 15) // 16, (w + 15) // 16
+            coefs = [np.zeros((2 * nmy, 2 * nmx, 8, 8)),
+                     np.zeros((nmy, nmx, 8, 8)), np.zeros((nmy, nmx, 8, 8))]
+            for by in range(nmy):
+                for bx in range(nmx):
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            coefs[0][2 * by + dy, 2 * bx + dx] = read_block(0)
+                    coefs[1][by, bx] = read_block(1)
+                    coefs[2][by, bx] = read_block(2)
+        else:
+            nby, nbx = (h + 7) // 8, (w + 7) // 8
+            coefs = [
+                np.zeros((nby, nbx, 8, 8), dtype=np.float64) for _ in comps
+            ]
+            for by in range(nby):
+                for bx in range(nbx):
+                    for ci in range(n_comp):
+                        coefs[ci][by, bx] = read_block(ci)
 
     planes = []
     for c in coefs:

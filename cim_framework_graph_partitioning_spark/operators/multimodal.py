@@ -15,10 +15,12 @@ end-to-end paths and one stub:
   reconstructed per (sub-)image, vectorized PLTE lookup, MSB-first
   sub-byte unpack, 16-bit high-byte fold; round-trip tested per
   filter, depth, and interlace.
-* JPEG (baseline sequential, 8-bit grayscale, YCbCr 4:4:4 or 4:2:0)
-  payloads are decoded for real by a pure-numpy huffman+IDCT decoder
-  (``jpeg.decode_jpeg``; ``jpeg.encode_jpeg`` returns payload AND the
-  exact expected decode, so the lossy round trip is bit-exact-tested).
+* JPEG (baseline sequential SOF0 AND progressive huffman SOF2, 8-bit
+  grayscale, YCbCr 4:4:4 or 4:2:0) payloads are decoded for real by a
+  pure-numpy huffman+IDCT decoder (``jpeg.decode_jpeg``;
+  ``jpeg.encode_jpeg`` / ``jpeg.encode_jpeg_progressive`` return
+  payload AND the exact expected decode, so both lossy round trips are
+  bit-exact-tested).
 * WAV (RIFF) payloads are decoded for real by a pure-python chunk
   parser (``decode_wav``; round-trippable via ``encode_wav``) —
   PCM 8/16-bit PLUS three real COMPRESSED encodings from
@@ -33,7 +35,7 @@ end-to-end paths and one stub:
   quantization loss so the lossy VIDEO round trip is bit-exact-tested.
   ``extract_frames`` samples real frames by byte-slicing '00dc' chunks
   (no pixel decode on the sampling path).
-* remaining formats (progressive/arithmetic JPEG, library-bound
+* remaining formats (arithmetic-coded/lossless JPEG, library-bound
   compressed audio — MP3/AAC/FLAC/Vorbis — and non-MJPEG video —
   MP4/H.264/VP9 and friends) are STUBBED — they genuinely need codec libraries or out-of-scope
   decode machinery this container lacks: with ``allow_fake=False`` the

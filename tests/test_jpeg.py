@@ -14,6 +14,7 @@ import pytest
 from cim_framework_graph_partitioning_spark.operators.jpeg import (
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 
@@ -67,12 +68,19 @@ def test_jpeg_structural_corruption_raises():
     ]:
         with pytest.raises(ValueError):
             decode_jpeg(bad)
-    # progressive refused: flip SOF0 (0xC0) to SOF2 (0xC2)
+    # flipping SOF0 (0xC0) to SOF2 (0xC2) leaves a structurally invalid
+    # stream: the baseline SOS declares Ss=0 with Se=63, which is not a
+    # legal progressive DC scan
     prog = bytearray(payload)
     idx = bytes(prog).find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
     with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
+    # arithmetic coding (SOF9) stays refused
+    arith = bytearray(payload)
+    arith[idx + 1] = 0xC9
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(arith))
     # NOTE: corruption inside the entropy scan that still forms valid
     # huffman codes is undetectable by design (JPEG has no checksum) —
     # not tested as a raise.
@@ -118,3 +126,70 @@ def test_jpeg_420_subsampling_bit_exact():
     assert (decode_jpeg(p) == e).all()
     p, e = encode_jpeg(img[:1, :1], quality=90, subsample="420")  # 1x1 edge
     assert (decode_jpeg(p) == e).all()
+
+
+def test_jpeg_progressive_bit_exact_all_modes():
+    """SOF2 with both progression axes — spectral selection (DC scan +
+    AC bands 1-5/6-63 per component) and successive approximation
+    (Al=1 firsts, then DC and AC refinement scans). Quantization is
+    shared with the baseline encoder, so progressive round-trips are
+    bit-exact against the replayed expectation AND against the
+    baseline decode of the same image."""
+    img = _gradient(37, 29)  # smooth content: long cross-block EOB runs
+    for kwargs in ({}, {"gray": True}, {"subsample": "420"}):
+        for q in (10, 50, 90):
+            payload, expected = encode_jpeg_progressive(img, quality=q, **kwargs)
+            assert b"\xff\xc2" in payload  # SOF2 frame
+            out = decode_jpeg(payload)
+            assert out.shape == img.shape
+            assert (out == expected).all(), f"not bit-exact at q={q} {kwargs}"
+
+    pb, eb = encode_jpeg(img, quality=85)
+    pp, ep = encode_jpeg_progressive(img, quality=85)
+    assert (eb == ep).all()  # identical quantization
+    assert (decode_jpeg(pp) == decode_jpeg(pb)).all()
+
+
+def test_jpeg_progressive_noise_and_edge_sizes():
+    """Uniform noise maximizes refinement traffic (dense newly-nonzero
+    coefficients, ZRL-in-refine, correction-bit buffering); odd sizes
+    exercise the padded-vs-actual grid split where 4:2:0 luma AC scans
+    cover fewer blocks than the interleaved DC scan."""
+    rng = np.random.RandomState(7)
+    for hw in [(8, 8), (17, 9), (16, 32), (33, 31), (1, 1)]:
+        noise = rng.randint(0, 256, hw + (3,), np.uint8)
+        for sub in ("444", "420"):
+            payload, expected = encode_jpeg_progressive(
+                noise, quality=92, subsample=sub
+            )
+            assert (decode_jpeg(payload) == expected).all(), (hw, sub)
+
+
+def test_jpeg_progressive_corruption_raises():
+    payload, _ = encode_jpeg_progressive(_gradient(16, 16), quality=75)
+    for bad in [
+        payload[: len(payload) // 2],  # truncated mid-scan
+        payload[:40],                  # truncated mid-segment
+    ]:
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_jpeg_progressive_via_multimodal_dispatch(spark):
+    """Progressive payloads take the real decode path in
+    decode_and_featurize (decodability-based dispatch, no fake
+    fallback needed)."""
+    from cim_framework_graph_partitioning_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _image_features,
+        decode_and_featurize,
+    )
+
+    img = _gradient(24, 16)
+    payload, expected = encode_jpeg_progressive(img, quality=90)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(payload), (24, 16, None, None))], MEDIA_SCHEMA
+    )
+    feats = decode_and_featurize(media, allow_fake=False).collect()
+    assert len(feats) == 1
+    assert list(feats[0].feature) == list(_image_features(expected))
