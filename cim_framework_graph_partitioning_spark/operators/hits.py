@@ -1,0 +1,192 @@
+"""HITS (hubs & authorities) as iterative DataFrame supersteps.
+
+Kleinberg's algorithm generalized to weighted edges — the natural
+companion to PageRank for a link-graph engine (the reference's
+dependency graphs are directed, so hub/authority structure is
+meaningful: a build-orchestration file is a hub, a widely-imported
+utility is an authority; reference graph construction:
+/root/reference/graph.py:12-23).
+
+Update rule per superstep (weighted, L2-normalized — the classic
+formulation):
+
+    a_raw(v) = sum over edges (u, v) of hub(u) * w(u, v)
+    auth     = a_raw / ||a_raw||_2
+    t_raw(u) = sum over edges (u, v) of a_raw(v) * w(u, v)
+    hub      = t_raw / ||t_raw||_2
+
+``t_raw`` deliberately consumes the UN-normalized ``a_raw``: the L2
+norm is a scalar, so hub = E @ (a_raw / na) / ||E @ (a_raw / na)|| =
+t_raw / ||t_raw|| — one fewer normalization barrier per superstep,
+bit-identical result (both the SQL oracle and the numpy test oracle
+mirror this exact dataflow).
+
+Scale shape (same discipline as pagerank.py):
+
+* TWO cached copies of the edge table, hash-partitioned by src_id and
+  by dst_id respectively — each half-step joins the (small) score
+  table against a pre-exchanged static side, so only scores shuffle
+  per superstep. The 2x static cache is the price of never
+  re-exchanging the 100-TB edge table; columnar caching makes it
+  cheap relative to a per-step exchange.
+* shuffle_hash hints keep the cached edge partitions from being
+  re-sorted under sort-merge-join every superstep.
+* The L2 norms are driver scalars; they re-enter the plan via a 1-row
+  broadcast table (NOT literals — per-step literals defeat the
+  whole-stage-codegen cache, a measured serial recompile per step).
+* Per superstep: two localCheckpoint materializations (a_raw, then the
+  joined state) + one norm agg + one delta agg — all bounded
+  full-vertex scans; no driver-side collect grows with the graph.
+* SuperstepRunner provides durable checkpoints + per-partition lineage
+  + metrics, so a run is resumable mid-convergence (north rule).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.superstep import SuperstepRunner
+
+
+def hits(
+    spark: SparkSession,
+    edges: DataFrame,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_blocks: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 4,
+    resume: bool = False,
+    run_id: str = "hits",
+    metrics_sink: list | None = None,
+) -> tuple[DataFrame, int]:
+    """Returns (scores(id, hub, auth), supersteps_run).
+
+    Converges when max(L-inf delta of hub, L-inf delta of auth) < tol.
+    Hub and auth vectors are each unit-L2-normalized.
+    """
+    sc = spark.sparkContext
+    p = num_blocks or sc.defaultParallelism
+
+    verts = (
+        edges.select(F.col("src_id").alias("id"))
+        .unionByName(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+        .repartition(p, "id")
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, hub double, auth double"), 0
+
+    e = edges.select("src_id", "dst_id", "weight")
+    e_by_src = e.repartition(p, "src_id").persist()
+    e_by_dst = e.repartition(p, "dst_id").persist()
+    e_by_src.count()
+    e_by_dst.count()
+
+    init = verts.select(
+        "id",
+        F.lit(1.0 / math.sqrt(n)).alias("hub"),
+        F.lit(0.0).alias("auth"),
+    )
+
+    def step_fn(state: DataFrame, step: int):
+        # -- auth half-step: scores shuffle to the src-partitioned edges
+        h = state.select("id", "hub").hint("shuffle_hash")
+        a_contribs = h.join(e_by_src, h.id == e_by_src.src_id).select(
+            "dst_id", (F.col("hub") * F.col("weight")).alias("c")
+        )
+        a_sums = a_contribs.groupBy("dst_id").agg(F.sum("c").alias("a_raw"))
+        a_tbl = (
+            verts.join(
+                a_sums.hint("shuffle_hash"), verts.id == a_sums.dst_id, "left"
+            )
+            .select("id", F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("a_raw"))
+            .localCheckpoint(eager=True)  # job 1: a_raw feeds two consumers
+        )
+
+        # -- hub half-step over the UN-normalized a_raw
+        a = a_tbl.hint("shuffle_hash")
+        t_contribs = a.join(e_by_dst, a.id == e_by_dst.dst_id).select(
+            "src_id", (F.col("a_raw") * F.col("weight")).alias("c")
+        )
+        t_sums = t_contribs.groupBy("src_id").agg(F.sum("c").alias("t_raw"))
+        prev = state.select(
+            "id",
+            F.col("hub").alias("prev_hub"),
+            F.col("auth").alias("prev_auth"),
+        ).hint("shuffle_hash")
+        raw = (
+            a_tbl.join(t_sums.hint("shuffle_hash"),
+                       a_tbl.id == t_sums.src_id, "left")
+            .select(
+                a_tbl.id,
+                "a_raw",
+                F.coalesce(F.col("t_raw"), F.lit(0.0)).alias("t_raw"),
+            )
+            .join(prev, "id")
+            .localCheckpoint(eager=True)  # job 2: raw state for 2 aggs
+        )
+
+        # job 3: both L2 norms in one pass
+        nrow = raw.agg(
+            F.sum(F.col("a_raw") * F.col("a_raw")).alias("na2"),
+            F.sum(F.col("t_raw") * F.col("t_raw")).alias("nt2"),
+        ).collect()[0]
+        na = math.sqrt(float(nrow.na2 or 0.0))
+        nt = math.sqrt(float(nrow.nt2 or 0.0))
+        if na == 0.0 or nt == 0.0:
+            # degenerate (edgeless after filtering): converge to zeros
+            zero = raw.select(
+                "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+            )
+            return zero, {"max_delta": 0.0, "na": na, "nt": nt}
+
+        # norms ride a 1-row broadcast, keeping codegen cache-stable
+        norm_df = spark.createDataFrame([(na, nt)], "na double, nt double")
+        scored = raw.crossJoin(F.broadcast(norm_df)).select(
+            "id",
+            (F.col("t_raw") / F.col("nt")).alias("hub"),
+            (F.col("a_raw") / F.col("na")).alias("auth"),
+            "prev_hub",
+            "prev_auth",
+        )
+        # job 4: L-inf deltas of the normalized vectors
+        drow = scored.agg(
+            F.max(F.abs(F.col("hub") - F.col("prev_hub"))).alias("dh"),
+            F.max(F.abs(F.col("auth") - F.col("prev_auth"))).alias("da"),
+        ).collect()[0]
+        new_state = scored.select("id", "hub", "auth")
+        return new_state, {
+            "max_delta": max(float(drow.dh), float(drow.da)),
+            "na": na,
+            "nt": nt,
+        }
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
+        checkpoint_every=checkpoint_every,
+    )
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        scores, steps = runner.run(
+            init,
+            step_fn,
+            converged=lambda m: m["max_delta"] < tol,
+            max_iter=max_iter,
+            resume=resume,
+            pre_truncated=True,  # state is a projection over job-2's checkpoint
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    if metrics_sink is not None:
+        metrics_sink.extend(runner.history)
+    verts.unpersist()
+    e_by_src.unpersist()
+    e_by_dst.unpersist()
+    return scores.select("id", "hub", "auth"), steps

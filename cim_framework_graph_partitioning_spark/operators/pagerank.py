@@ -94,26 +94,53 @@ def pagerank(
     resume: bool = False,
     run_id: str = "pagerank",
     metrics_sink: list | None = None,
+    sources: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Returns (ranks(id, rank), supersteps_run). Ranks sum to 1.
 
     ``metrics_sink``: optional list that receives the per-superstep
-    metric dicts (max_delta, dangling_mass, superstep_sec)."""
+    metric dicts (max_delta, dangling_mass, superstep_sec).
+
+    ``sources``: optional (id) DataFrame of teleport targets —
+    PERSONALIZED PageRank. Both the (1-d) teleport and the dangling
+    mass then redistribute uniformly over the source set instead of
+    all vertices; the initial rank vector is uniform over the sources.
+    Source ids absent from the graph's vertex set are ignored. The
+    source set is assumed broadcast-small (it is a user-picked seed
+    set, not a data-scale table)."""
     sc = spark.sparkContext
     p = num_blocks or sc.defaultParallelism
 
     src_ids = edges.select(F.col("src_id").alias("id")).distinct()
+    verts = src_ids.unionByName(edges.select(F.col("dst_id").alias("id"))).distinct()
+    if sources is not None:
+        s = sources.select(F.col(sources.columns[0]).alias("id")).distinct()
+        verts = verts.join(
+            F.broadcast(s.withColumn("_in_s", F.lit(True))), "id", "left"
+        ).select("id", F.coalesce(F.col("_in_s"), F.lit(False)).alias("in_s"))
+    else:
+        verts = verts.select("id", F.lit(True).alias("in_s"))
     verts = (
-        src_ids.unionByName(edges.select(F.col("dst_id").alias("id")))
-        .distinct()
-        .join(src_ids.withColumn("_has_out", F.lit(True)), "id", "left")
-        .select("id", F.coalesce(F.col("_has_out"), F.lit(False)).alias("has_out"))
+        verts.join(src_ids.withColumn("_has_out", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("_has_out"), F.lit(False)).alias("has_out"),
+            "in_s",
+        )
         .repartition(p, "id")
         .persist()
     )
     n = verts.count()
     if n == 0:
         return spark.createDataFrame([], "id long, rank double"), 0
+    # teleport-set size: n for classic PageRank, |S ∩ verts| when
+    # personalized (the denominator of both teleport and dangling terms)
+    ns = (
+        n if sources is None
+        else verts.filter(F.col("in_s")).count()
+    )
+    if ns == 0:
+        raise ValueError("personalized pagerank: no source id is in the graph")
 
     norm = _normalized_edges(edges)
     if mode in ("csr", "csr_arrow"):
@@ -131,7 +158,11 @@ def pagerank(
         norm = norm.repartition(p, "src_id").persist()
         norm.count()
 
-    init = verts.select("id", F.lit(1.0 / n).alias("rank"), "has_out")
+    init = verts.select(
+        "id",
+        F.when(F.col("in_s"), F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias("rank"),
+        "has_out",
+    )
     # driver-carried scalar: dangling mass of the CURRENT state. Lazily
     # (re)computed from the state itself so resume-from-checkpoint sees
     # the right value, not the fresh-run one.
@@ -188,16 +219,23 @@ def pagerank(
         # base rides in a 1-row broadcast table, NOT a literal: literals
         # change per superstep and defeat the whole-stage-codegen cache
         # (a serial driver-side recompile every step).
-        base = (1.0 - damping) / n + damping * state["dang"] / n
+        base = (1.0 - damping) / ns + damping * state["dang"] / ns
         base_df = spark.createDataFrame([(float(base),)], "base double")
         prev = ranks.select("id", F.col("rank").alias("prev")).hint("shuffle_hash")
+        # teleport lands only on the source set; the classic uniform
+        # path keeps its original branch-free expression
+        tele = (
+            F.col("base")
+            if sources is None
+            else F.when(F.col("in_s"), F.col("base")).otherwise(F.lit(0.0))
+        )
         new_ranks = (
             verts.join(sums.hint("shuffle_hash"), verts.id == sums.dst_id, "left")
             .join(prev, "id")
             .crossJoin(F.broadcast(base_df))
             .select(
                 "id",
-                (F.col("base") + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+                (tele + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
                 "has_out",
                 "prev",
             )

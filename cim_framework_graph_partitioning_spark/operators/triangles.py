@@ -60,6 +60,45 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     return corners.groupBy("id").agg(F.count("*").alias("n_triangles"))
 
 
+def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected
+    simple graph: cc(v) = 2*T(v) / (d(v)*(d(v)-1)), where T(v) is the
+    number of triangles through v and d(v) its distinct-neighbor
+    degree; vertices with d < 2 get cc = 0 by convention.
+
+    Returns (id, degree, n_triangles, coeff). Reuses the degree-
+    oriented triangle enumeration (the skew control carries over: the
+    only new work on top of ``triangles_per_vertex`` is one degree
+    aggregation and a vertex-keyed left join)."""
+    und = (
+        symmetrize(edges)
+        .select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src_id").alias("id")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    tri = triangles_per_vertex(edges)
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.coalesce(F.col("n_triangles"), F.lit(0)) / (d * (d - 1.0)),
+            )
+            .otherwise(0.0)
+            .alias("coeff"),
+        )
+    )
+
+
 def _closed_wedges(edges: DataFrame) -> DataFrame:
     o = _oriented(edges).persist()
     e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))

@@ -104,3 +104,100 @@ def lpa_oracle(edges: list[tuple[int, int, float]], max_iter=10):
             break
         labels = new
     return labels
+
+
+def hits_oracle(edges: list[tuple[int, int, float]], tol=1e-6,
+                max_iter=100) -> dict[int, tuple[float, float]]:
+    """Weighted HITS with L2 normalization, mirroring the engine's
+    dataflow exactly (hub pass consumes the UN-normalized a_raw).
+    Returns {id: (hub, auth)}."""
+    ids = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    w = np.zeros((n, n))
+    for u, v, wt in edges:
+        w[idx[u], idx[v]] += wt
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(max_iter):
+        a_raw = h @ w
+        na = np.linalg.norm(a_raw)
+        t_raw = w @ a_raw
+        nt = np.linalg.norm(t_raw)
+        if na == 0 or nt == 0:
+            return {v: (0.0, 0.0) for v in ids}
+        a_new, h_new = a_raw / na, t_raw / nt
+        d = max(np.abs(a_new - a).max(), np.abs(h_new - h).max())
+        a, h = a_new, h_new
+        if d < tol:
+            break
+    return {v: (float(h[idx[v]]), float(a[idx[v]])) for v in ids}
+
+
+def coreness_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Exact coreness by sequential minimum-degree peel (the textbook
+    algorithm — deliberately a DIFFERENT algorithm from the engine's
+    h-index fixpoint, so agreement is meaningful)."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict[int, int] = {}
+    remaining = set(adj)
+    k = 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.remove(v)
+        for u in adj[v]:
+            if u in remaining:
+                deg[u] -= 1
+    return core
+
+
+def clustering_oracle(edges: list[tuple[int, int]]) -> dict[int, tuple[int, int, float]]:
+    """Per-vertex (degree, triangles, coefficient) by brute force."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for v, ns in adj.items():
+        d = len(ns)
+        t = sum(len(adj[x] & ns) for x in ns) // 2
+        out[v] = (d, t, 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0)
+    return out
+
+
+def ppr_oracle(edges: list[tuple[int, int, float]], sources: list[int],
+               damping=0.85, tol=1e-6, max_iter=200) -> dict[int, float]:
+    """Personalized PageRank: teleport AND dangling mass land uniformly
+    on the source set; init uniform over sources."""
+    ids = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    w = np.zeros((n, n))
+    for u, v, wt in edges:
+        w[idx[u], idx[v]] += wt
+    out = w.sum(axis=1)
+    s = np.zeros(n)
+    members = [v for v in sources if v in idx]
+    for v in members:
+        s[idx[v]] = 1.0 / len(members)
+    r = s.copy()
+    for _ in range(max_iter):
+        dang = r[out == 0].sum()
+        nz = out > 0
+        contrib = (r[nz] / out[nz]) @ w[nz]
+        new = (1 - damping) * s + damping * (contrib + dang * s)
+        if np.max(np.abs(new - r)) < tol:
+            r = new
+            break
+        r = new
+    return {v: float(r[idx[v]]) for v in ids}
