@@ -27,15 +27,18 @@ from .operators.dedup import (
     simhash_near_duplicates,
 )
 from .operators.edges import derive_edges
+from .operators.hits import hits
+from .operators.kcore import coreness
 from .operators.labelprop import label_propagation
 from .operators.pagerank import pagerank
 from .operators.partitioner import balanced_partition
 from .operators.similarity import brute_force_topk
-from .operators.triangles import triangle_count
+from .operators.triangles import local_clustering_coefficient, triangle_count
 from .sources.corpus import synthesize_corpus_modular
 from .sources.fk_graphs import (
     ORDER_OFFSET,
     PART_OFFSET,
+    co_part_edges,
     co_supplier_edges,
     order_chain_edges,
     supplier_part_edges,
@@ -1446,6 +1449,200 @@ FROM final ORDER BY rank DESC, repo, path LIMIT 20""",
 
 
 # --------------------------------------------------------------------------
+# link-analysis queries: HITS, k-core, clustering, personalized PageRank
+# --------------------------------------------------------------------------
+
+_SQL_CO_PART = """
+  SELECT a.l_partkey AS src_id, b.l_partkey AS dst_id
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+"""
+
+
+def q_hits_3steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three exact weighted-HITS supersteps on the supplier→part graph
+    (operators/hits.py). tol=0 forces exactly 3 iterations, so the SQL
+    unroll replays the identical dataflow — including the hub pass over
+    the UN-normalized a_raw — step for step."""
+    e = supplier_part_edges(spark, sf_dir)
+    scores, _ = hits(spark, e, tol=0.0, max_iter=3)
+    return scores.select(
+        "id",
+        F.round("hub", 10).alias("hub"),
+        F.round("auth", 10).alias("auth"),
+    ).orderBy("id")
+
+
+def _hits_sql(steps: int) -> str:
+    """Hand-unrolled weighted HITS with L2 normalization, mirroring
+    hits()'s exact update: a_raw = hub·W (coalesced to 0 over all
+    vertices), t_raw = W·a_raw over the UN-normalized a_raw, then both
+    vectors divide by their L2 norms."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({_SQL_EDGES}),
+verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges
+                                   UNION ALL SELECT dst_id FROM edges)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts),
+h0 AS MATERIALIZED (SELECT id, 1.0 / sqrt((SELECT c FROM nn)) AS hub FROM verts)"""
+    body = ""
+    for i in range(1, steps + 1):
+        p = i - 1
+        body += f""",
+ar{i} AS MATERIALIZED (SELECT v.id, coalesce(s.a, 0) AS a_raw
+        FROM verts v LEFT JOIN (
+          SELECT e.dst_id, sum(h.hub * e.weight) AS a
+          FROM edges e JOIN h{p} h ON h.id = e.src_id GROUP BY 1
+        ) s ON v.id = s.dst_id),
+tr{i} AS MATERIALIZED (SELECT v.id, coalesce(s.t, 0) AS t_raw
+        FROM verts v LEFT JOIN (
+          SELECT e.src_id, sum(a.a_raw * e.weight) AS t
+          FROM edges e JOIN ar{i} a ON a.id = e.dst_id GROUP BY 1
+        ) s ON v.id = s.src_id),
+na{i} AS (SELECT sqrt(sum(a_raw * a_raw)) AS n FROM ar{i}),
+nt{i} AS (SELECT sqrt(sum(t_raw * t_raw)) AS n FROM tr{i}),
+h{i} AS MATERIALIZED (SELECT id, t_raw / (SELECT n FROM nt{i}) AS hub FROM tr{i}),
+au{i} AS (SELECT id, a_raw / (SELECT n FROM na{i}) AS auth FROM ar{i})"""
+    return pre + body + f"""
+SELECT h.id, round(h.hub, 10) AS hub, round(a.auth, 10) AS auth
+FROM h{steps} h JOIN au{steps} a USING (id) ORDER BY id"""
+
+
+def q_kcore_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-vertex coreness on the co-part graph (parts sharing an
+    order — the sparse projection; the co-supplier one is complete at
+    every tested SF) via the distributed h-index fixpoint
+    (operators/kcore.py). 19 supersteps to fixpoint at sf0.01; the
+    oracle unrolls 24 — over-unrolling a fixpoint is the identity, and
+    every value is integral, so the replay is bit-exact by
+    construction."""
+    e = co_part_edges(spark, sf_dir)
+    cores, _ = coreness(spark, e)
+    return cores.orderBy("id")
+
+
+def _kcore_sql(steps: int) -> str:
+    """h-index fixpoint unroll. h-index via the rank trick: with
+    neighbor values sorted descending, h = #{rank r : value_r >= r} —
+    deterministic under ties because the sorted value multiset is."""
+    pre = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART}),
+und AS MATERIALIZED (SELECT src_id AS v, dst_id AS u FROM e0
+        UNION SELECT dst_id, src_id FROM e0),
+c0 AS MATERIALIZED (SELECT v AS id, CAST(count(*) AS BIGINT) AS core
+        FROM und GROUP BY 1)"""
+    body = ""
+    for i in range(1, steps + 1):
+        p = i - 1
+        body += f""",
+c{i} AS MATERIALIZED (
+  SELECT v AS id, CAST(count(*) FILTER (WHERE nc >= rn) AS BIGINT) AS core
+  FROM (SELECT und.v, c.core AS nc,
+               row_number() OVER (PARTITION BY und.v ORDER BY c.core DESC) AS rn
+        FROM und JOIN c{p} c ON c.id = und.u)
+  GROUP BY v)"""
+    return pre + body + f"\nSELECT id, core FROM c{steps} ORDER BY id"
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient on the co-part graph
+    (operators/triangles.py local_clustering_coefficient — reuses the
+    degree-oriented triangle enumeration)."""
+    e = co_part_edges(spark, sf_dir)
+    return (
+        local_clustering_coefficient(e)
+        .select(
+            "id", "degree", "n_triangles", F.round("coeff", 10).alias("coeff")
+        )
+        .orderBy("id")
+    )
+
+
+_ORACLE_CLUSTERING = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART}),
+und AS MATERIALIZED (SELECT src_id, dst_id FROM e0
+        UNION SELECT dst_id, src_id FROM e0),
+deg AS (SELECT src_id AS id, CAST(count(*) AS BIGINT) AS degree
+        FROM und GROUP BY 1),
+tri AS (SELECT a.src_id AS id, CAST(count(*) AS BIGINT) AS t
+        FROM und a JOIN und b ON a.src_id = b.src_id AND a.dst_id < b.dst_id
+        JOIN und c ON c.src_id = a.dst_id AND c.dst_id = b.dst_id
+        GROUP BY 1)
+SELECT d.id, d.degree, coalesce(t.t, 0) AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(t.t, 0)
+                       / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+                  ELSE 0.0 END, 10) AS coeff
+FROM deg d LEFT JOIN tri t USING (id) ORDER BY d.id
+"""
+
+
+def q_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank TO CONVERGENCE (1e-6) from the 3 lowest
+    supplier ids on the supplier→part graph: teleport AND dangling mass
+    land uniformly on the seed set (pagerank(sources=...)). Unlike the
+    uniform-teleport case (2 supersteps — the bipartite graph mixes in
+    one bounce), the seeded chain genuinely contracts at rate d=0.85,
+    so convergence takes 79 supersteps; the oracle unrolls 84 with the
+    dynamic stop (first step with L-inf delta < tol — self-policing:
+    an unconverged unroll mismatches loudly)."""
+    e = supplier_part_edges(spark, sf_dir)
+    seeds = e.select(F.col("src_id").alias("id")).distinct().orderBy("id").limit(3)
+    ranks, _ = pagerank(spark, e, sources=seeds, tol=1e-6, max_iter=100)
+    return ranks.select("id", F.round("rank", 10).alias("rank")).orderBy("id")
+
+
+def _ppr_dynamic_sql(edges_sql: str, max_steps: int, n_seeds: int,
+                     tol: str = "1e-6") -> str:
+    """Dynamic-stop unroll of PERSONALIZED PageRank (same scaffold as
+    _pagerank_dynamic_sql; r0 uniform over the seed set, teleport and
+    dangling terms divide by |S| and land only on members)."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({edges_sql}),
+verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges
+                                   UNION ALL SELECT dst_id FROM edges)),
+seeds AS MATERIALIZED (SELECT DISTINCT src_id AS id FROM edges ORDER BY 1 LIMIT {n_seeds}),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM seeds),
+outw AS MATERIALIZED (SELECT src_id, sum(weight) AS wo FROM edges GROUP BY 1),
+norm AS MATERIALIZED (SELECT src_id, dst_id, weight / wo AS frac
+         FROM edges JOIN outw USING (src_id)),
+r0 AS MATERIALIZED (SELECT v.id,
+        CASE WHEN s.id IS NOT NULL THEN 1.0 / (SELECT c FROM ns) ELSE 0.0 END AS rank
+        FROM verts v LEFT JOIN seeds s USING (id))"""
+    body = ""
+    for i in range(1, max_steps + 1):
+        p = i - 1
+        body += f""",
+d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{p}
+        WHERE id NOT IN (SELECT src_id FROM outw)),
+s{i} AS (SELECT dst_id, sum(r{p}.rank * frac) AS s
+        FROM norm JOIN r{p} ON r{p}.id = norm.src_id GROUP BY 1),
+r{i} AS MATERIALIZED (SELECT v.id,
+               CASE WHEN sd.id IS NOT NULL
+                    THEN 0.15 / (SELECT c FROM ns)
+                         + 0.85 * (SELECT dm FROM d{i}) / (SELECT c FROM ns)
+                    ELSE 0.0 END
+               + 0.85 * coalesce(s.s, 0) AS rank
+        FROM verts v LEFT JOIN s{i} s ON v.id = s.dst_id
+        LEFT JOIN seeds sd ON v.id = sd.id),
+dl{i} AS (SELECT max(abs(a.rank - b.rank)) AS d
+        FROM r{i} a JOIN r{p} b USING (id))"""
+    dls = "\nUNION ALL ".join(
+        f"SELECT {i} AS i, (SELECT d FROM dl{i}) AS d"
+        for i in range(1, max_steps + 1)
+    )
+    allr = "\nUNION ALL ".join(
+        f"SELECT {i} AS i, id, rank FROM r{i}" for i in range(1, max_steps + 1)
+    )
+    return pre + body + f""",
+dls AS ({dls}),
+kk AS (SELECT coalesce(min(i), {max_steps}) AS k FROM dls WHERE d < {tol}),
+final AS (SELECT id, rank FROM ({allr}) u WHERE i = (SELECT k FROM kk))
+SELECT id, round(rank, 10) AS rank FROM final ORDER BY id"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1463,6 +1660,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "frontier_indegree0": (q_frontier_indegree0, _ORACLE_FRONTIER),
     "longest_path": (q_longest_path, _longest_path_sql(32)),
     "chain_decomposition": (q_chain_decomposition, _ORACLE_CHAINS),
+    "hits_3steps": (q_hits_3steps, _hits_sql(3)),
+    "kcore_coreness": (q_kcore_coreness, _kcore_sql(24)),
+    "clustering_coeff": (q_clustering_coeff, _ORACLE_CLUSTERING),
+    "ppr_seeds": (q_ppr_seeds, _ppr_dynamic_sql(_SQL_EDGES, max_steps=84, n_seeds=3)),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),

@@ -71,3 +71,23 @@ def order_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("next_key") + ORDER_OFFSET).alias("dst_id"),
     )
     return first.unionByName(nxt).withColumn("weight", F.lit(1.0))
+
+
+def co_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase graph over PARTS: parts appearing in the
+    same order. One row per (a, b) with a < b; weight 1.0. Unlike the
+    co-supplier projection (complete at every tested SF — suppliers
+    share almost every part), this graph is sparse with real local
+    structure (~6% density at sf0.01), so k-core and clustering
+    coefficients are non-degenerate on it."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src_id"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst_id"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
