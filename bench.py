@@ -39,6 +39,8 @@ from cim_framework_graph_partitioning_spark.operators.dedup import (  # noqa: E4
     minhash_near_duplicates,
 )
 from cim_framework_graph_partitioning_spark.operators.edges import derive_edges  # noqa: E402
+from cim_framework_graph_partitioning_spark.operators.hits import hits  # noqa: E402
+from cim_framework_graph_partitioning_spark.operators.kcore import coreness  # noqa: E402
 from cim_framework_graph_partitioning_spark.operators.labelprop import (  # noqa: E402
     label_propagation,
 )
@@ -47,6 +49,7 @@ from cim_framework_graph_partitioning_spark.operators.partitioner import (  # no
     balanced_partition,
 )
 from cim_framework_graph_partitioning_spark.operators.triangles import (  # noqa: E402
+    local_clustering_coefficient,
     triangle_count,
 )
 from cim_framework_graph_partitioning_spark.queries import (  # noqa: E402
@@ -126,6 +129,25 @@ def main() -> None:
     timed(
         "partition_corpus_k8",
         lambda: balanced_partition(spark, edges, k=8, max_rounds=3)[0].count(),
+    )
+
+    # link-analysis additions (round 4): HITS to 1e-6 (two matvecs per
+    # superstep — expect ~2x a PageRank step), exact coreness (h-index
+    # fixpoint), local clustering coefficient (one-shot).
+    def hits_run():
+        sink: list = []
+        _, steps = hits(spark, edges, tol=1e-6, max_iter=100, metrics_sink=sink)
+        return steps, [m["superstep_sec"] for m in sink]
+
+    hits_outs = timed("hits_corpus_1e6", hits_run)
+    extra["hits_per_step"] = [out[1] for out in hits_outs]
+    extra["hits_supersteps"] = hits_outs[0][0]
+    # coreness materializes eagerly inside the loop; [1] is the step count
+    kcore_outs = timed("kcore_corpus", lambda: coreness(spark, edges)[1])
+    extra["kcore_supersteps"] = kcore_outs[0]
+    timed(
+        "clustering_corpus",
+        lambda: local_clustering_coefficient(edges).count(),
     )
     edges.unpersist()
 

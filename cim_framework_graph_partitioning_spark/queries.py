@@ -30,8 +30,10 @@ from .operators.edges import derive_edges
 from .operators.hits import hits
 from .operators.kcore import coreness
 from .operators.labelprop import label_propagation
+from .operators.linkpred import adamic_adar_pairs
 from .operators.pagerank import pagerank
 from .operators.partitioner import balanced_partition
+from .operators.paths import shortest_paths
 from .operators.similarity import brute_force_topk
 from .operators.triangles import local_clustering_coefficient, triangle_count
 from .sources.corpus import synthesize_corpus_modular
@@ -1642,6 +1644,96 @@ final AS (SELECT id, rank FROM ({allr}) u WHERE i = (SELECT k FROM kk))
 SELECT id, round(rank, 10) AS rank FROM final ORDER BY id"""
 
 
+def q_sssp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source shortest paths (operators/paths.py — delta
+    Bellman-Ford supersteps) on the SYMMETRIZED co-part graph from the
+    3 lowest part ids, with deterministic non-uniform weights
+    w = 1 + (src+dst) % 5 (symmetric, integer-valued, so every path
+    sum is IEEE-exact and the SQL replay is bit-exact). The oracle
+    unrolls the identical relaxation to fixpoint — over-unrolling is
+    the identity, same self-policing trick as the k-core oracle."""
+    e0 = co_part_edges(spark, sf_dir).select("src_id", "dst_id")
+    und = e0.unionByName(
+        e0.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
+    )
+    e = und.withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src_id") + F.col("dst_id"), F.lit(5)))
+        .cast("double"),
+    )
+    seeds = e.select(F.col("src_id").alias("id")).distinct().orderBy("id").limit(3)
+    dists, _ = shortest_paths(spark, e, seeds)
+    return dists.orderBy("id")
+
+
+def _sssp_sql(steps: int, n_seeds: int) -> str:
+    pre = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART}),
+edges AS MATERIALIZED (
+  SELECT src_id, dst_id,
+         CAST(1 + (src_id + dst_id) % 5 AS DOUBLE) AS weight
+  FROM (SELECT src_id, dst_id FROM e0
+        UNION ALL SELECT dst_id, src_id FROM e0)),
+verts AS MATERIALIZED (SELECT DISTINCT src_id AS id FROM edges),
+seeds AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {n_seeds}),
+d0 AS MATERIALIZED (SELECT v.id,
+        CASE WHEN s.id IS NOT NULL THEN 0.0 ELSE NULL END AS dist
+        FROM verts v LEFT JOIN seeds s USING (id))"""
+    body = ""
+    for i in range(1, steps + 1):
+        p = i - 1
+        body += f""",
+d{i} AS MATERIALIZED (
+  SELECT d.id, least(coalesce(d.dist, c.cand), coalesce(c.cand, d.dist)) AS dist
+  FROM d{p} d LEFT JOIN (
+    SELECT e.dst_id, min(s.dist + e.weight) AS cand
+    FROM edges e JOIN d{p} s ON s.id = e.src_id AND s.dist IS NOT NULL
+    GROUP BY 1
+  ) c ON d.id = c.dst_id)"""
+    return pre + body + f"\nSELECT id, dist FROM d{steps} ORDER BY id"
+
+
+def q_adamic_adar_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 Adamic-Adar link predictions on the co-part graph with a
+    degree cap of 120 (hub centers carry vanishing 1/ln(deg) weight;
+    the cap is the 100-TB scale knob — operators/linkpred.py). Rounding
+    to 9 decimals absorbs sum-order ulp noise; ties broken by
+    (src, dst) so the LIMIT boundary is deterministic on both sides."""
+    e = co_part_edges(spark, sf_dir)
+    return (
+        adamic_adar_pairs(e, max_degree=120)
+        .select(
+            "src_id", "dst_id", "common_neighbors",
+            F.round("aa_score", 9).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "src_id", "dst_id")
+        .limit(50)
+    )
+
+
+_ORACLE_ADAMIC_ADAR = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART}),
+und AS MATERIALIZED (SELECT src_id, dst_id FROM e0
+        UNION SELECT dst_id, src_id FROM e0),
+deg AS (SELECT src_id AS z, CAST(count(*) AS BIGINT) AS deg
+        FROM und GROUP BY 1),
+half AS (SELECT u.src_id AS z, u.dst_id AS v, d.deg
+         FROM und u JOIN deg d ON u.src_id = d.z
+         WHERE d.deg <= 120),
+wedges AS (SELECT a.v AS src_id, b.v AS dst_id, a.deg
+           FROM half a JOIN half b ON a.z = b.z AND a.v < b.v),
+scored AS (SELECT src_id, dst_id,
+                  CAST(count(*) AS BIGINT) AS common_neighbors,
+                  sum(1.0 / ln(CAST(deg AS DOUBLE))) AS aa_score
+           FROM wedges GROUP BY 1, 2),
+nonadj AS (SELECT s.* FROM scored s
+           LEFT JOIN und u ON s.src_id = u.src_id AND s.dst_id = u.dst_id
+           WHERE u.src_id IS NULL)
+SELECT src_id, dst_id, common_neighbors, round(aa_score, 9) AS aa_score
+FROM nonadj ORDER BY aa_score DESC, src_id, dst_id LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1664,6 +1756,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "kcore_coreness": (q_kcore_coreness, _kcore_sql(24)),
     "clustering_coeff": (q_clustering_coeff, _ORACLE_CLUSTERING),
     "ppr_seeds": (q_ppr_seeds, _ppr_dynamic_sql(_SQL_EDGES, max_steps=84, n_seeds=3)),
+    "sssp_parts": (q_sssp_parts, _sssp_sql(10, n_seeds=3)),
+    "adamic_adar_top": (q_adamic_adar_top, _ORACLE_ADAMIC_ADAR),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),

@@ -201,3 +201,57 @@ def ppr_oracle(edges: list[tuple[int, int, float]], sources: list[int],
             break
         r = new
     return {v: float(r[idx[v]]) for v in ids}
+
+
+def sssp_oracle(edges: list[tuple[int, int, float]],
+                sources: list[int]) -> dict[int, float | None]:
+    """Multi-source Dijkstra (deliberately a DIFFERENT algorithm from
+    the engine's Bellman-Ford supersteps). None = unreachable."""
+    import heapq
+
+    ids = {u for u, _, _ in edges} | {v for _, v, _ in edges}
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+    dist: dict[int, float] = {s: 0.0 for s in sources if s in ids}
+    pq = [(0.0, s) for s in dist]
+    heapq.heapify(pq)
+    done = set()
+    while pq:
+        d, u = heapq.heappop(pq)
+        if u in done:
+            continue
+        done.add(u)
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if v not in dist or nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return {v: dist.get(v) for v in ids}
+
+
+def adamic_adar_oracle(edges: list[tuple[int, int]],
+                       max_degree=None) -> dict[tuple[int, int], tuple[int, float]]:
+    """Brute-force AA: {(a, b): (common, score)} for non-adjacent a<b."""
+    import math
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out: dict[tuple[int, int], tuple[int, float]] = {}
+    verts = sorted(adj)
+    for i, a in enumerate(verts):
+        for b in verts[i + 1:]:
+            if b in adj[a]:
+                continue
+            common = [z for z in adj[a] & adj[b]
+                      if max_degree is None or len(adj[z]) <= max_degree]
+            if common:
+                out[(a, b)] = (
+                    len(common),
+                    sum(1.0 / math.log(len(adj[z])) for z in common),
+                )
+    return out
