@@ -1,0 +1,199 @@
+"""Strongly connected components via the distributed coloring
+algorithm (Orzan 2004; Slota, Rajamanickam & Madduri 2014).
+
+The reference's graphs are DAG-shaped by construction, but real
+link/dependency graphs contain cycles (mutual imports), and every
+cycle-aware analysis (condensation, cycle detection, dependency-order
+scheduling) starts with SCCs. Tarjan's algorithm is inherently
+sequential (DFS); the data-parallel formulation iterates two
+diameter-bounded fixpoints per round:
+
+  1. COLOR: color(v) := v; propagate color(dst) = max(color(dst),
+     color(src)) along edges to fixpoint. Every vertex ends up colored
+     by the max-id vertex that reaches it.
+  2. CONTAIN: the root of color c is the vertex with id == c. The SCC
+     of that root is exactly the set of vertices backward-reachable
+     from the root THROUGH SAME-COLOR vertices (they reach the root by
+     color construction; the root reaches them back along the reversed
+     path — mutual reachability).
+  3. PEEL: emit those SCCs, remove them, repeat on the remainder.
+
+Rounds needed = length of the longest root-chain in the condensation
+actually hit by max-coloring — small for real link graphs (hub-heavy
+graphs color in one or two rounds); ``max_rounds`` caps it and raises
+rather than silently truncating (same contract style as
+components.py's truncation guard).
+
+Returned scc_id = MIN member id (decoupled from the algorithm's
+max-id root; matches connected_components' labeling convention).
+
+Scale shape: all three phases are keyed joins/aggregations over the
+remaining-edge table, re-persisted per round hash-partitioned by
+src_id; only (id, color[, flag]) state shuffles inside the fixpoints;
+plan lineage is truncated every iteration via PlanBarrier. No
+driver-side collect carries vertex data — convergence metrics are
+scalar counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.barrier import PlanBarrier
+
+
+def strongly_connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 64,
+    max_iter: int = 10_000,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Returns (id, scc_id) for every vertex appearing in ``edges``;
+    scc_id = min id in the vertex's strongly connected component.
+    Self-loops don't affect the decomposition (a self-loop-only vertex
+    is its own singleton SCC)."""
+    p = num_blocks or spark.sparkContext.defaultParallelism
+    barrier = PlanBarrier(spark, tag="scc")
+
+    # vertex set from the UNFILTERED edges (self-loop-only vertices
+    # must still appear, as singletons); the working edge table drops
+    # self-loops (they never change strong connectivity).
+    e_all = (
+        edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        .persist()
+    )
+    remaining = (
+        edges.select(F.col("src_id").alias("id"))
+        .unionByName(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+        .repartition(p, "id")
+        .localCheckpoint(eager=True)
+    )
+    result: DataFrame | None = None
+
+    rounds = 0
+    while remaining.limit(1).count() > 0:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(f"scc: not done after {max_rounds} rounds")
+        er = (
+            e_all.join(remaining.withColumnRenamed("id", "src_id"), "src_id")
+            .join(remaining.withColumnRenamed("id", "dst_id"), "dst_id")
+            .select("src_id", "dst_id")
+            .repartition(p, "src_id")
+            .persist()
+        )
+        er.count()
+
+        # -- phase 1: forward max-color propagation to fixpoint,
+        # frontier-based: max() is monotone, so only vertices whose
+        # color ROSE last iteration need to re-propagate.
+        color = remaining.select(
+            "id", F.col("id").alias("color"), F.lit(True).alias("chg")
+        ).localCheckpoint(eager=True)
+        for _i in range(max_iter):
+            frontier = color.filter(F.col("chg")).select("id", "color")
+            cand = (
+                frontier.hint("shuffle_hash")
+                .join(er, frontier.id == er.src_id)
+                .groupBy(F.col("dst_id").alias("cid"))
+                .agg(F.max("color").alias("cand"))
+            )
+            new_color = (
+                color.join(cand.hint("shuffle_hash"),
+                           color.id == cand.cid, "left")
+                .select(
+                    "id",
+                    F.greatest(
+                        F.col("color"), F.coalesce(F.col("cand"), F.col("color"))
+                    ).alias("color"),
+                    (
+                        F.col("cand").isNotNull()
+                        & (F.col("cand") > F.col("color"))
+                    ).alias("chg"),
+                )
+                .persist()
+            )
+            changed = new_color.filter(F.col("chg")).count()
+            trunc = barrier.cut(new_color)
+            new_color.unpersist()
+            color = trunc
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError("scc: color propagation did not converge")
+
+        # -- phase 2: backward reachability from roots within color.
+        # A vertex v joins when some edge (v, u) has u already marked
+        # AND color(u) == color(v); marks only ever spread inside one
+        # color class, so the flag is a plain boolean. Frontier-based
+        # (same trick as paths.py's delta Bellman-Ford): only marks
+        # gained LAST iteration propagate, so total backward-join work
+        # is one pass over each SCC's in-edges, not diameter passes.
+        reach = color.select(
+            "id",
+            "color",
+            (F.col("id") == F.col("color")).alias("in_scc"),
+            (F.col("id") == F.col("color")).alias("frontier"),
+        ).localCheckpoint(eager=True)
+        for _i in range(max_iter):
+            marked = reach.filter(F.col("frontier")).select(
+                F.col("id").alias("m_id"), F.col("color").alias("m_color")
+            )
+            # candidate hits, deduped BEFORE the state join so the
+            # state stays one-row-per-vertex even when a vertex sees
+            # marked out-neighbors of several colors
+            newly = (
+                er.join(marked.hint("shuffle_hash"), er.dst_id == marked.m_id)
+                .join(
+                    reach.select("id", F.col("color").alias("v_color")),
+                    er.src_id == F.col("id"),
+                )
+                .filter(F.col("m_color") == F.col("v_color"))
+                .select("id")
+                .distinct()
+                .withColumn("_hit", F.lit(True))
+            )
+            new_reach = (
+                reach.join(newly.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id",
+                    "color",
+                    (F.col("in_scc") | F.coalesce(F.col("_hit"), F.lit(False))).alias("in_scc"),
+                    (
+                        F.coalesce(F.col("_hit"), F.lit(False))
+                        & ~F.col("in_scc")
+                    ).alias("frontier"),
+                )
+                .persist()
+            )
+            changed = new_reach.filter(F.col("frontier")).count()
+            trunc = barrier.cut(new_reach)
+            new_reach.unpersist()
+            reach = trunc
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError("scc: backward reachability did not converge")
+
+        chunk = reach.filter(F.col("in_scc")).select("id", "color")
+        chunk = chunk.localCheckpoint(eager=True)
+        result = chunk if result is None else result.unionByName(chunk)
+        result = result.localCheckpoint(eager=True)
+        remaining = (
+            remaining.join(chunk.select("id"), "id", "left_anti")
+            .repartition(p, "id")
+            .localCheckpoint(eager=True)
+        )
+        er.unpersist()
+
+    e_all.unpersist()
+    if result is None:
+        return spark.createDataFrame([], "id long, scc_id long")
+    # relabel: scc_id = min member id (algorithm-independent contract)
+    relabel = result.groupBy("color").agg(F.min("id").alias("scc_id"))
+    return result.join(relabel, "color").select("id", "scc_id")

@@ -34,6 +34,7 @@ from .operators.linkpred import adamic_adar_pairs
 from .operators.pagerank import pagerank
 from .operators.partitioner import balanced_partition
 from .operators.paths import shortest_paths
+from .operators.scc import strongly_connected_components
 from .operators.similarity import brute_force_topk
 from .operators.triangles import local_clustering_coefficient, triangle_count
 from .sources.corpus import synthesize_corpus_modular
@@ -43,6 +44,7 @@ from .sources.fk_graphs import (
     co_part_edges,
     co_supplier_edges,
     order_chain_edges,
+    order_cycle_edges,
     supplier_part_edges,
 )
 
@@ -1734,6 +1736,36 @@ FROM nonadj ORDER BY aa_score DESC, src_id, dst_id LIMIT 50
 """
 
 
+def q_scc_order_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/scc.py — distributed
+    coloring: forward max-id fixpoint + backward same-color
+    containment, peel, repeat) on the order-cycle graph: per customer
+    the orders form a RING (SCC of size 1..25) and the customer vertex
+    is a singleton entry point. The oracle is CLOSED-FORM — each
+    ring's scc_id is its customer's min order id — so the driver check
+    validates the whole decomposition without a transitive closure.
+    The algorithmic correctness on arbitrary digraphs is pytest
+    territory (iterative-Tarjan oracle, tests/test_scc.py)."""
+    e = order_cycle_edges(spark, sf_dir)
+    sccs = strongly_connected_components(spark, e)
+    return sccs.orderBy("id")
+
+
+_ORACLE_SCC = f"""
+WITH m AS (SELECT o_custkey, min(o_orderkey) AS mo
+           FROM orders GROUP BY 1)
+SELECT id, scc_id FROM (
+  SELECT CAST(o_custkey AS BIGINT) AS id,
+         CAST(o_custkey AS BIGINT) AS scc_id
+  FROM m
+  UNION ALL
+  SELECT CAST(o.o_orderkey + {ORDER_OFFSET} AS BIGINT) AS id,
+         CAST(m.mo + {ORDER_OFFSET} AS BIGINT) AS scc_id
+  FROM orders o JOIN m USING (o_custkey))
+ORDER BY id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1758,6 +1790,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ppr_seeds": (q_ppr_seeds, _ppr_dynamic_sql(_SQL_EDGES, max_steps=84, n_seeds=3)),
     "sssp_parts": (q_sssp_parts, _sssp_sql(10, n_seeds=3)),
     "adamic_adar_top": (q_adamic_adar_top, _ORACLE_ADAMIC_ADAR),
+    "scc_order_cycles": (q_scc_order_cycles, _ORACLE_SCC),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),

@@ -91,3 +91,45 @@ def co_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("weight", F.lit(1.0))
     )
+
+
+def order_cycle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed graph with NON-TRIVIAL strongly connected components:
+    per customer, its orders form a ring (order r → order r+1, last →
+    first), plus an entry edge customer → first order. Every ring is
+    one SCC of size = that customer's order count (1..25 at sf0.01);
+    every customer vertex is a singleton SCC (nothing points back at
+    it). Ground truth is closed-form: scc_id of an order = its
+    customer's min order id + ORDER_OFFSET — which is what makes this
+    the oracle graph for the SCC driver query (the FK graphs are
+    otherwise all DAGs/bipartite: no cycles anywhere)."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.first("o_orderkey").over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("first_key"),
+    )
+    entry = r.filter(F.col("rn") == 1).select(
+        F.col("o_custkey").alias("src_id"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst_id"),
+    )
+    chain = r.filter(F.col("next_key").isNotNull()).select(
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("src_id"),
+        (F.col("next_key") + ORDER_OFFSET).alias("dst_id"),
+    )
+    wrap = r.filter(F.col("next_key").isNull()).select(
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("src_id"),
+        (F.col("first_key") + ORDER_OFFSET).alias("dst_id"),
+    )
+    return (
+        entry.unionByName(chain).unionByName(wrap)
+        .withColumn("weight", F.lit(1.0))
+    )
