@@ -1766,6 +1766,42 @@ ORDER BY id
 """
 
 
+def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG: contract the order-cycle graph by its SCCs
+    (scc.py output feeding the contraction pattern of
+    q_graph_contraction) — the standard way to make ANY digraph
+    schedulable by the DAG operators (topological sort, longest path,
+    chain decomposition). On the ring forest the condensation is
+    closed-form: one edge per customer, custkey → its ring's scc_id,
+    weight = 1 (the entry edge; intra-ring edges all collapse)."""
+    e = order_cycle_edges(spark, sf_dir)
+    sccs = strongly_connected_components(spark, e)
+    src_l = sccs.select(
+        F.col("id").alias("src_id"), F.col("scc_id").alias("src_scc")
+    )
+    dst_l = sccs.select(
+        F.col("id").alias("dst_id"), F.col("scc_id").alias("dst_scc")
+    )
+    return (
+        e.join(src_l, "src_id")
+        .join(dst_l, "dst_id")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.sum("weight").alias("weight"))
+        .orderBy("src_scc", "dst_scc")
+    )
+
+
+_ORACLE_CONDENSATION = f"""
+WITH m AS (SELECT o_custkey, min(o_orderkey) AS mo
+           FROM orders GROUP BY 1)
+SELECT CAST(o_custkey AS BIGINT) AS src_scc,
+       CAST(mo + {ORDER_OFFSET} AS BIGINT) AS dst_scc,
+       CAST(1 AS DOUBLE) AS weight
+FROM m ORDER BY src_scc, dst_scc
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1791,6 +1827,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sssp_parts": (q_sssp_parts, _sssp_sql(10, n_seeds=3)),
     "adamic_adar_top": (q_adamic_adar_top, _ORACLE_ADAMIC_ADAR),
     "scc_order_cycles": (q_scc_order_cycles, _ORACLE_SCC),
+    "condensation": (q_condensation, _ORACLE_CONDENSATION),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),
