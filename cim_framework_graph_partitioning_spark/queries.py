@@ -35,6 +35,7 @@ from .operators.pagerank import pagerank
 from .operators.partitioner import balanced_partition
 from .operators.paths import shortest_paths
 from .operators.scc import strongly_connected_components
+from .operators.walks import random_walks
 from .operators.similarity import brute_force_topk
 from .operators.triangles import local_clustering_coefficient, triangle_count
 from .sources.corpus import synthesize_corpus_modular
@@ -1802,6 +1803,59 @@ FROM m ORDER BY src_scc, dst_scc
 """
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus (operators/walks.py)
+    on the symmetrized co-part graph: 2 walks of length 4 from every
+    vertex, hash-seeded (md5 family here so DuckDB replays the
+    neighbor selection bit-exactly; engine default stays xxhash64 —
+    the same hash-family parameterization as minhash)."""
+    e0 = co_part_edges(spark, sf_dir).select("src_id", "dst_id")
+    und = e0.unionByName(
+        e0.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
+    ).withColumn("weight", F.lit(1.0))
+    return random_walks(
+        spark, und, walk_length=4, num_walks=2, seed=7, hash_family="md5"
+    ).orderBy("start_id", "walk_no", "step")
+
+
+def _walks_sql(walk_length: int, num_walks: int, seed: int) -> str:
+    """Unrolled replay of the md5 walk rule: at step t,
+    rank = CAST('0x' || substr(md5('{seed}:{t}:' || cur || ':' ||
+    walk_no), 1, 15) AS BIGINT) % deg — byte-identical to Spark's
+    conv(substring(md5(concat_ws(':', ...)), 1, 15), 16, 10)."""
+    pre = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART}),
+und AS (SELECT src_id, dst_id FROM e0
+        UNION SELECT dst_id, src_id FROM e0),
+adj AS MATERIALIZED (
+  SELECT src_id, dst_id,
+         row_number() OVER (PARTITION BY src_id ORDER BY dst_id) - 1 AS r,
+         count(*) OVER (PARTITION BY src_id) AS deg
+  FROM und),
+s0 AS MATERIALIZED (
+  SELECT id AS start_id, walk_no, id AS cur
+  FROM (SELECT DISTINCT src_id AS id FROM adj)
+  CROSS JOIN (SELECT i AS walk_no FROM range({num_walks}) t(i)))"""
+    body = ""
+    for i in range(1, walk_length + 1):
+        p = i - 1
+        body += f""",
+s{i} AS MATERIALIZED (
+  SELECT s.start_id, s.walk_no, a.dst_id AS cur
+  FROM s{p} s JOIN adj a ON a.src_id = s.cur
+   AND a.r = CAST(('0x' || substr(md5('{seed}:{i}:'
+                || CAST(s.cur AS VARCHAR) || ':'
+                || CAST(s.walk_no AS VARCHAR)), 1, 15)) AS BIGINT)
+             % a.deg)"""
+    allsteps = "\nUNION ALL ".join(
+        f"SELECT start_id, walk_no, CAST({i} AS INT) AS step, cur AS vertex_id FROM s{i}"
+        for i in range(0, walk_length + 1)
+    )
+    return pre + body + f"""
+SELECT start_id, walk_no, step, vertex_id FROM ({allsteps}) u
+ORDER BY start_id, walk_no, step"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1828,6 +1882,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "adamic_adar_top": (q_adamic_adar_top, _ORACLE_ADAMIC_ADAR),
     "scc_order_cycles": (q_scc_order_cycles, _ORACLE_SCC),
     "condensation": (q_condensation, _ORACLE_CONDENSATION),
+    "random_walks": (q_random_walks, _walks_sql(4, num_walks=2, seed=7)),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),

@@ -308,3 +308,35 @@ def scc_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
                     for w in comp:
                         out[w] = m
     return out
+
+
+def walks_oracle(edges: list[tuple[int, int]], walk_length: int,
+                 num_walks: int, seed: int) -> dict[tuple[int, int, int], int]:
+    """Replays the md5 hash-family walk rule in pure python:
+    rank = int(md5(f"{seed}:{step}:{cur}:{walk_no}")[:15], 16) % deg,
+    neighbors ranked ascending by id."""
+    import hashlib
+
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    for u in adj:
+        adj[u] = sorted(set(adj[u]))
+    out: dict[tuple[int, int, int], int] = {}
+    for start in sorted(adj):
+        for w in range(num_walks):
+            cur = start
+            out[(start, w, 0)] = cur
+            for step in range(1, walk_length + 1):
+                ns = adj.get(cur)
+                if not ns:
+                    break
+                h = int(
+                    hashlib.md5(
+                        f"{seed}:{step}:{cur}:{w}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                cur = ns[h % len(ns)]
+                out[(start, w, step)] = cur
+    return out
