@@ -1514,6 +1514,71 @@ SELECT h.id, round(h.hub, 10) AS hub, round(a.auth, 10) AS auth
 FROM h{steps} h JOIN au{steps} a USING (id) ORDER BY id"""
 
 
+def q_hits_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS iterated TO CONVERGENCE (tol 1e-6, L-inf over both
+    vectors) — the convergence CONTROL FLOW oracled with the same
+    dynamic-stop trick as pagerank_converged/ppr_seeds: unroll 8 exact
+    supersteps (the bipartite graph converges in 4 at sf0.01 — strong
+    eigengap), emit the first step whose delta beats tol; an
+    unconverged unroll mismatches loudly."""
+    e = supplier_part_edges(spark, sf_dir)
+    scores, _ = hits(spark, e, tol=1e-6, max_iter=100)
+    return scores.select(
+        "id",
+        F.round("hub", 10).alias("hub"),
+        F.round("auth", 10).alias("auth"),
+    ).orderBy("id")
+
+
+def _hits_dynamic_sql(max_steps: int, tol: str = "1e-6") -> str:
+    """_hits_sql plus per-step L-inf deltas of BOTH normalized vectors
+    and the first-step-below-tol selection (the runner's strict-<
+    rule, exactly hits()'s ``max(dh, da) < tol`` check)."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({_SQL_EDGES}),
+verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges
+                                   UNION ALL SELECT dst_id FROM edges)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts),
+h0 AS MATERIALIZED (SELECT id, 1.0 / sqrt((SELECT c FROM nn)) AS hub FROM verts),
+au0 AS MATERIALIZED (SELECT id, 0.0 AS auth FROM verts)"""
+    body = ""
+    for i in range(1, max_steps + 1):
+        p = i - 1
+        body += f""",
+ar{i} AS MATERIALIZED (SELECT v.id, coalesce(s.a, 0) AS a_raw
+        FROM verts v LEFT JOIN (
+          SELECT e.dst_id, sum(h.hub * e.weight) AS a
+          FROM edges e JOIN h{p} h ON h.id = e.src_id GROUP BY 1
+        ) s ON v.id = s.dst_id),
+tr{i} AS MATERIALIZED (SELECT v.id, coalesce(s.t, 0) AS t_raw
+        FROM verts v LEFT JOIN (
+          SELECT e.src_id, sum(a.a_raw * e.weight) AS t
+          FROM edges e JOIN ar{i} a ON a.id = e.dst_id GROUP BY 1
+        ) s ON v.id = s.src_id),
+na{i} AS (SELECT sqrt(sum(a_raw * a_raw)) AS n FROM ar{i}),
+nt{i} AS (SELECT sqrt(sum(t_raw * t_raw)) AS n FROM tr{i}),
+h{i} AS MATERIALIZED (SELECT id, t_raw / (SELECT n FROM nt{i}) AS hub FROM tr{i}),
+au{i} AS MATERIALIZED (SELECT id, a_raw / (SELECT n FROM na{i}) AS auth FROM ar{i}),
+dl{i} AS (SELECT greatest(
+            (SELECT max(abs(a.hub - b.hub)) FROM h{i} a JOIN h{p} b USING (id)),
+            (SELECT max(abs(a.auth - b.auth)) FROM au{i} a JOIN au{p} b USING (id))
+          ) AS d)"""
+    dls = "\nUNION ALL ".join(
+        f"SELECT {i} AS i, (SELECT d FROM dl{i}) AS d"
+        for i in range(1, max_steps + 1)
+    )
+    allr = "\nUNION ALL ".join(
+        f"SELECT {i} AS i, h.id, h.hub, a.auth FROM h{i} h JOIN au{i} a USING (id)"
+        for i in range(1, max_steps + 1)
+    )
+    return pre + body + f""",
+dls AS ({dls}),
+kk AS (SELECT coalesce(min(i), {max_steps}) AS k FROM dls WHERE d < {tol}),
+final AS (SELECT id, hub, auth FROM ({allr}) u WHERE i = (SELECT k FROM kk))
+SELECT id, round(hub, 10) AS hub, round(auth, 10) AS auth
+FROM final ORDER BY id"""
+
+
 def q_kcore_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-vertex coreness on the co-part graph (parts sharing an
     order — the sparse projection; the co-supplier one is complete at
@@ -1875,6 +1940,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "longest_path": (q_longest_path, _longest_path_sql(32)),
     "chain_decomposition": (q_chain_decomposition, _ORACLE_CHAINS),
     "hits_3steps": (q_hits_3steps, _hits_sql(3)),
+    "hits_converged": (q_hits_converged, _hits_dynamic_sql(8)),
     "kcore_coreness": (q_kcore_coreness, _kcore_sql(24)),
     "clustering_coeff": (q_clustering_coeff, _ORACLE_CLUSTERING),
     "ppr_seeds": (q_ppr_seeds, _ppr_dynamic_sql(_SQL_EDGES, max_steps=84, n_seeds=3)),
