@@ -1,9 +1,23 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (r4 VERDICT #1: the full payload outgrew
+the driver's tail-capture window and clipped mid-string, so round 4
+recorded ``parsed: null``; the final line is now capped well under 1 KB):
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
+   "queries": {name: sec, ...}, "sf": ..., "steady": {...},
+   "vs_prev_median": r, "extra_file": "BENCH/last_run_extra.json"}
+The full diagnostics (raw samples, per-superstep second arrays, load
+averages, per-query vs-previous-round ratios) are written to the
+sidecar ``BENCH/last_run_extra.json`` instead of being inlined.
+
+Self-labeling under load (r4 VERDICT #2): "steady" reports the median
+steady-state seconds/superstep for the iterative headliners (cold
+step-0 samples excluded) — the metric the r4 adjudication showed is
+trustworthy when wall totals are hostage to neighbor load — and
+"vs_prev_median" is the median per-query ratio against the previous
+recorded run (BENCH/last_run_extra.json from the prior round), so a
+fully-loaded session is visible from the final line alone.
 
 Noise methodology (r2 VERDICT #2): this sandbox shares a host and a
 single sample is hostage to neighbor load (measured 9.1s vs 169.4s for
@@ -169,19 +183,62 @@ def main() -> None:
     extra["runs_per_query"] = RUNS_PER_QUERY
     extra["load_avg_end"] = round(os.getloadavg()[0], 2)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "extra": extra,
+
+    # steady-state medians: per-superstep seconds with each sample's cold
+    # step 0 dropped — robust to JVM warm-up and neighbor-load spikes.
+    def steady_median(arrays):
+        steps = sorted(s for arr in arrays for s in arr[1:])
+        return round(steps[len(steps) // 2], 3) if steps else None
+
+    steady = {
+        "pagerank_step_sec": steady_median(extra["pagerank_per_step"]),
+        "pagerank_csr_step_sec": steady_median(extra["pagerank_csr_per_step"]),
+        "hits_step_sec": steady_median(extra["hits_per_step"]),
+    }
+
+    # vs-previous-round per-query ratios from the prior sidecar (if any);
+    # only comparable when the prior run was at the SAME scale factor
+    # (an sf0.001 smoke run must not pollute the driver's sf0.1 ratios).
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    sidecar = os.path.join(bench_dir, "last_run_extra.json")
+    vs_prev: dict[str, float] = {}
+    try:
+        with open(sidecar) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf:
+            prev_q = prev.get("queries", {})
+            vs_prev = {
+                k: round(v / prev_q[k], 2)
+                for k, v in timings.items()
+                if prev_q.get(k)
             }
+    except (OSError, ValueError):
+        pass
+    extra["vs_prev"] = vs_prev
+    vs_prev_median = None
+    if vs_prev:
+        r = sorted(vs_prev.values())
+        vs_prev_median = r[len(r) // 2]
+
+    compact = {
+        "metric": "e2e_headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "steady": steady,
+        "vs_prev_median": vs_prev_median,
+        "extra_file": "BENCH/last_run_extra.json",
+    }
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(sidecar, "w") as f:
+        json.dump(
+            {"sf": sf, "queries": timings, "steady": steady, "extra": extra},
+            f,
+            indent=1,
         )
-    )
     spark.stop()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -919,6 +919,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             b = body
             while b:
+                if len(b) < 65:
+                    raise ValueError("truncated DQT body")
                 prec, tid = b[0] >> 4, b[0] & 0xF
                 if prec != 0:
                     raise ValueError("16-bit quant tables unsupported")
@@ -930,17 +932,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             b = body
             while b:
+                if len(b) < 17:
+                    raise ValueError("truncated DHT body")
                 cls, tid = b[0] >> 4, b[0] & 0xF
                 bits = [0] + list(b[1:17])
                 n = sum(bits)
+                if len(b) < 17 + n:
+                    raise ValueError("truncated DHT body")
                 vals = list(b[17 : 17 + n])
                 tab = _build_decoder(bits, vals)
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
                 b = b[17 + n :]
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            # bounds-check BEFORE indexing: a corrupt payload whose segment
+            # length is self-consistent but body is short must degrade as
+            # ValueError (the _try_decode dirty-data contract), never
+            # IndexError (which would fail the whole mapInPandas task).
+            if len(body) < 6:
+                raise ValueError("truncated SOF body")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             n_comp = body[5]
+            if len(body) < 6 + 3 * n_comp:
+                raise ValueError("truncated SOF body")
             comps = []
             samps = []
             for i in range(n_comp):
@@ -973,7 +987,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG scan before frame header")
+            if not body:
+                raise ValueError("truncated SOS body")
             n_sc = body[0]
+            if len(body) < 1 + 2 * n_sc:
+                raise ValueError("truncated SOS body")
             sel = []
             for i in range(n_sc):
                 cid, tabs = body[1 + 2 * i : 3 + 2 * i]

@@ -609,24 +609,28 @@ def _try_decode(payload: bytes) -> np.ndarray | None:
     """Attempt every real codec; None means 'no real path decodes this'.
     Decodability — not magic bytes — decides the route, so a corrupt
     'BM'/'RIFF'/PNG prefix degrades to the fake path instead of failing
-    the whole mapInPandas task. RIFF payloads disambiguate on the form
-    type: 'WAVE' takes the PCM path, 'AVI ' the MJPEG video path."""
+    the whole mapInPandas task. Codecs raise ValueError on malformed
+    input by contract, but IndexError is caught too as defense in depth
+    for short-buffer indexing on adversarially corrupt payloads (one
+    bad record must never kill a 100-TB scan task). RIFF payloads
+    disambiguate on the form type: 'WAVE' takes the PCM path, 'AVI '
+    the MJPEG video path."""
     if payload[:2] == b"BM":
         try:
             return _image_features(decode_bmp(payload))
-        except ValueError:
+        except (ValueError, IndexError):
             return None
     if payload[:8] == _PNG_SIG:
         try:
             return _image_features(decode_png(payload))
-        except ValueError:
+        except (ValueError, IndexError):
             return None
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
         try:
             return _image_features(decode_jpeg(payload))
-        except ValueError:
+        except (ValueError, IndexError):
             return None
     if payload[:4] == b"RIFF":
         if payload[8:12] == b"AVI ":
@@ -636,11 +640,11 @@ def _try_decode(payload: bytes) -> np.ndarray | None:
                 n_raw = len(parse_avi(payload)[0])
                 stride = max(1, -(-n_raw // _VIDEO_SAMPLE_FRAMES))
                 return _video_features(*decode_avi_mjpeg(payload, stride))
-            except ValueError:
+            except (ValueError, IndexError):
                 return None
         try:
             return _wav_features(*decode_wav(payload))
-        except ValueError:
+        except (ValueError, IndexError):
             return None
     return None
 

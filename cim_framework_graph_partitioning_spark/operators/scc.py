@@ -8,21 +8,27 @@ scheduling) starts with SCCs. Tarjan's algorithm is inherently
 sequential (DFS); the data-parallel formulation iterates two
 diameter-bounded fixpoints per round:
 
-  1. COLOR: color(v) := v; propagate color(dst) = max(color(dst),
-     color(src)) along edges to fixpoint. Every vertex ends up colored
-     by the max-id vertex that reaches it.
-  2. CONTAIN: the root of color c is the vertex with id == c. The SCC
-     of that root is exactly the set of vertices backward-reachable
-     from the root THROUGH SAME-COLOR vertices (they reach the root by
-     color construction; the root reaches them back along the reversed
-     path — mutual reachability).
+  1. COLOR: color(v) := (xxhash64(v, salt), v); propagate
+     color(dst) = max(color(dst), color(src)) along edges to fixpoint.
+     Every vertex ends up colored by the max-PRIORITY vertex that
+     reaches it, where priority is the salted hash with the raw id as
+     a collision-free lexicographic tiebreak (the pair is unique per
+     vertex, so correctness never rides on hash collisions).
+  2. CONTAIN: the root of color c is the vertex whose own pair == c.
+     The SCC of that root is exactly the set of vertices
+     backward-reachable from the root THROUGH SAME-COLOR vertices
+     (they reach the root by color construction; the root reaches them
+     back along the reversed path — mutual reachability).
   3. PEEL: emit those SCCs, remove them, repeat on the remainder.
 
 Rounds needed = length of the longest root-chain in the condensation
-actually hit by max-coloring — small for real link graphs (hub-heavy
-graphs color in one or two rounds); ``max_rounds`` caps it and raises
-rather than silently truncating (same contract style as
-components.py's truncation guard).
+actually hit by max-coloring. Hashed priorities (r4 ADVICE) make that
+chain O(log n) in expectation on ANY dag shape — raw-id coloring
+degraded to one round per VERTEX on a path whose ids descend along
+edge direction (the treap argument: the root chain is the right spine
+of a random-priority tree). ``max_rounds`` caps it and raises rather
+than silently truncating (same contract style as components.py's
+truncation guard).
 
 Returned scc_id = MIN member id (decoupled from the algorithm's
 max-id root; matches connected_components' labeling convention).
@@ -49,6 +55,7 @@ def strongly_connected_components(
     max_rounds: int = 64,
     max_iter: int = 10_000,
     num_blocks: int | None = None,
+    salt: int = 0x5CC,
 ) -> DataFrame:
     """Returns (id, scc_id) for every vertex appearing in ``edges``;
     scc_id = min id in the vertex's strongly connected component.
@@ -91,9 +98,17 @@ def strongly_connected_components(
 
         # -- phase 1: forward max-color propagation to fixpoint,
         # frontier-based: max() is monotone, so only vertices whose
-        # color ROSE last iteration need to re-propagate.
+        # color ROSE last iteration need to re-propagate. Colors are
+        # (salted-hash, id) structs: Spark orders/aggregates structs
+        # lexicographically, so max-propagation, root detection, and
+        # equality all work unchanged while priorities are
+        # id-ordering-independent (see module docstring).
+        own_color = F.struct(
+            F.xxhash64(F.col("id"), F.lit(salt)).alias("h"),
+            F.col("id").alias("i"),
+        )
         color = remaining.select(
-            "id", F.col("id").alias("color"), F.lit(True).alias("chg")
+            "id", own_color.alias("color"), F.lit(True).alias("chg")
         ).localCheckpoint(eager=True)
         for _i in range(max_iter):
             frontier = color.filter(F.col("chg")).select("id", "color")
@@ -137,8 +152,8 @@ def strongly_connected_components(
         reach = color.select(
             "id",
             "color",
-            (F.col("id") == F.col("color")).alias("in_scc"),
-            (F.col("id") == F.col("color")).alias("frontier"),
+            (own_color == F.col("color")).alias("in_scc"),
+            (own_color == F.col("color")).alias("frontier"),
         ).localCheckpoint(eager=True)
         for _i in range(max_iter):
             marked = reach.filter(F.col("frontier")).select(

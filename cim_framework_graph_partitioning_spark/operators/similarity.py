@@ -270,15 +270,33 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
     feat = c.withColumn("_fv", array_to_vector("cv"))
-    # sampled-fit contract: deterministic given (seed, corpus). One
-    # count() pass sizes the sample fraction (the fit itself is
+    # sampled-fit contract: deterministic given (seed, corpus) —
+    # independent of partitioning (r4 ADVICE: sample(...).limit(...) is
+    # partition-order dependent). The sample is the fit_sample_rows
+    # corpus rows with the LOWEST pmod(xxhash64(id, seed), 2^31): a pure
+    # function of row identity, so repartitioned/re-read corpora fit the
+    # identical codebook. Two phases so no corpus-sized sort exists:
+    # a hash-threshold FILTER keeps ~1.5x the target (uniform hash =>
+    # binomial concentration; shortfall odds are negligible at 1.5x and
+    # a short sample would only perturb centroid quality, not
+    # correctness), then an exact bounded rank over that small survivor
+    # set. One count() pass sizes the branch (the fit itself is
     # multi-pass, so this is not the dominant cost); below the cap the
     # sample IS the full corpus, so the exactness tests (probe-all ==
     # brute force) are unaffected.
     n_corpus = feat.count()
     if n_corpus > fit_sample_rows:
-        frac = min(1.0, 1.5 * fit_sample_rows / n_corpus)
-        fit_input = feat.sample(fraction=frac, seed=seed).limit(fit_sample_rows)
+        mod = 1 << 31
+        thresh = int(min(1.0, 1.5 * fit_sample_rows / n_corpus) * mod)
+        hcol = F.pmod(F.xxhash64(F.col("neighbor_id"), F.lit(seed)), F.lit(mod))
+        w_fit = Window.orderBy(F.col("_fh").asc(), F.col("neighbor_id").asc())
+        fit_input = (
+            feat.withColumn("_fh", hcol)
+            .filter(F.col("_fh") < thresh)
+            .withColumn("_fr", F.row_number().over(w_fit))
+            .filter(F.col("_fr") <= fit_sample_rows)
+            .drop("_fh", "_fr")
+        )
     else:
         fit_input = feat
     model = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell").fit(fit_input)

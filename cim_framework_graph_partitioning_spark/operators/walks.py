@@ -6,7 +6,7 @@ it must be restartable and reproducible — a crash-and-resume must not
 resample different walks. Hence HASH-seeded walks, not RNG walks: the
 neighbor chosen at step t of walk (v0, w) is
 
-    rank = H(seed, t, cur, w)  mod  deg(cur)
+    rank = H(seed, t, cur, w, v0)  mod  deg(cur)
 
 over the adjacency ranked by dst id. Every step is a pure function of
 (edge table, seed), so walks are reproducible across runs,
@@ -41,10 +41,16 @@ from pyspark.sql import functions as F
 
 
 def _step_hash(step: int, seed: int, hash_family: str) -> F.Column:
-    """Non-negative long hash of (seed, step, cur, walk_no)."""
+    """Non-negative long hash of (seed, step, cur, walk_no, start_id).
+
+    start_id is part of the key (r4 ADVICE): without it, two walks with
+    the same walk_no that meet at the same vertex at the same step would
+    coalesce and share their entire suffix, correlating the corpus
+    versus DeepWalk-style independent sampling."""
     if hash_family == "xxhash64":
         return F.xxhash64(
-            F.lit(seed), F.lit(step), F.col("cur"), F.col("walk_no")
+            F.lit(seed), F.lit(step), F.col("cur"), F.col("walk_no"),
+            F.col("start_id"),
         )
     if hash_family == "md5":
         s = F.concat_ws(
@@ -53,6 +59,7 @@ def _step_hash(step: int, seed: int, hash_family: str) -> F.Column:
             F.lit(str(step)),
             F.col("cur").cast("string"),
             F.col("walk_no").cast("string"),
+            F.col("start_id").cast("string"),
         )
         return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     raise ValueError(f"unknown hash_family {hash_family!r}")

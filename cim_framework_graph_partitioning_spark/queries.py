@@ -1886,7 +1886,8 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _walks_sql(walk_length: int, num_walks: int, seed: int) -> str:
     """Unrolled replay of the md5 walk rule: at step t,
     rank = CAST('0x' || substr(md5('{seed}:{t}:' || cur || ':' ||
-    walk_no), 1, 15) AS BIGINT) % deg — byte-identical to Spark's
+    walk_no || ':' || start_id), 1, 15) AS BIGINT) % deg —
+    byte-identical to Spark's
     conv(substring(md5(concat_ws(':', ...)), 1, 15), 16, 10)."""
     pre = f"""
 WITH e0 AS MATERIALIZED ({_SQL_CO_PART}),
@@ -1910,7 +1911,8 @@ s{i} AS MATERIALIZED (
   FROM s{p} s JOIN adj a ON a.src_id = s.cur
    AND a.r = CAST(('0x' || substr(md5('{seed}:{i}:'
                 || CAST(s.cur AS VARCHAR) || ':'
-                || CAST(s.walk_no AS VARCHAR)), 1, 15)) AS BIGINT)
+                || CAST(s.walk_no AS VARCHAR) || ':'
+                || CAST(s.start_id AS VARCHAR)), 1, 15)) AS BIGINT)
              % a.deg)"""
     allsteps = "\nUNION ALL ".join(
         f"SELECT start_id, walk_no, CAST({i} AS INT) AS step, cur AS vertex_id FROM s{i}"

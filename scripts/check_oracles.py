@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import duckdb
 
@@ -49,9 +50,11 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
+    t_start = time.monotonic()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -60,9 +63,11 @@ def main():
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
             failed.append(name)
             continue
+        t_spark = time.monotonic() - t0
         if name not in oracles:
-            print(f"rows-only {name}: {len(srows)} rows, cols={scols}")
+            print(f"rows-only {name}: {len(srows)} rows, cols={scols} [spark {t_spark:.1f}s]")
             continue
+        t1 = time.monotonic()
         try:
             res = con.sql(oracles[name])
             dcols = res.columns
@@ -71,12 +76,17 @@ def main():
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:200]}")
             failed.append(name)
             continue
+        t_duck = time.monotonic() - t1
         ok_schema = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         sn, dn = norm_rows(scols, srows), norm_rows(dcols, drows)
         ok_vals = sn == dn
         status = "OK  " if (ok_schema and ok_count and ok_vals) else "FAIL"
-        print(f"{status} {name}: rows {len(srows)}/{len(drows)} schema={ok_schema} values={ok_vals}")
+        print(
+            f"{status} {name}: rows {len(srows)}/{len(drows)} schema={ok_schema} "
+            f"values={ok_vals} [spark {t_spark:.1f}s duck {t_duck:.1f}s]",
+            flush=True,
+        )
         if status == "FAIL":
             failed.append(name)
             if not ok_schema:
@@ -91,6 +101,7 @@ def main():
                     print(f"   only-spark: {extra_s}")
                 if extra_d:
                     print(f"   only-duck : {extra_d}")
+    print(f"total wall: {time.monotonic() - t_start:.1f}s")
     print("FAILED:" if failed else "ALL OK", failed)
     spark.stop()
     return 1 if failed else 0

@@ -308,3 +308,26 @@ def test_ivf_sampled_fit_bounded_and_exact(spark):
            for r in ivf_topk(emb, emb, k=3, n_cells=3, n_probe=3,
                              fit_sample_rows=8).collect()}
     assert bf == ivf
+
+
+def test_ivf_fit_sample_partitioning_invariant(spark):
+    """The sampled codebook fit is a pure function of (seed, corpus) —
+    NOT of the corpus's physical partitioning (r4 ADVICE: the old
+    sample+limit was partition-order dependent). A partial-probe run
+    must return identical rows on a 1-partition and a 7-partition copy
+    of the same corpus."""
+    from cim_framework_graph_partitioning_spark.operators.similarity import ivf_topk
+
+    _, emb = _toy_embeddings(spark)
+    q = emb.limit(6)
+
+    def run(corpus):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in ivf_topk(q, corpus, k=3, n_cells=4, n_probe=1,
+                              fit_sample_rows=8).collect()
+        )
+
+    a = run(emb.coalesce(1))
+    b = run(emb.repartition(7, "vec_id"))
+    assert a == b

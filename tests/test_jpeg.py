@@ -86,6 +86,47 @@ def test_jpeg_structural_corruption_raises():
     # not tested as a raise.
 
 
+def test_jpeg_short_segment_bodies_raise_valueerror():
+    """Self-consistent segment lengths with too-short bodies must raise
+    ValueError (the _try_decode dirty-data contract), never IndexError
+    (r4 ADVICE: one IndexError record kills the whole mapInPandas
+    task). Each case declares a body shorter than the fields the
+    segment header promises."""
+    from cim_framework_graph_partitioning_spark.operators.multimodal import (
+        _try_decode,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    soi = b"\xff\xd8"
+    # SOF0 with a 5-byte body (needs >= 6, then 6 + 3*n_comp)
+    cases = [
+        soi + seg(0xC0, b"\x08\x00\x10\x00\x10"),
+        # SOF0 claiming 3 components but carrying bytes for one
+        soi + seg(0xC0, b"\x08\x00\x10\x00\x10\x03\x01\x11\x00"),
+        # empty SOS body after a valid minimal frame header
+        soi
+        + seg(0xC4, bytes([0x00] + [0] * 15 + [1] + [0]))
+        + seg(0xDB, b"\x00" + b"\x01" * 64)
+        + seg(0xC0, b"\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+        + seg(0xDA, b""),
+        # SOS claiming 1 scan component with no selector bytes
+        soi
+        + seg(0xC0, b"\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+        + seg(0xDA, b"\x01"),
+        # truncated DQT (declares a table, carries 3 bytes)
+        soi + seg(0xDB, b"\x00\x01\x02"),
+        # truncated DHT (header only, no 16 length bytes)
+        soi + seg(0xC4, b"\x00\x01"),
+    ]
+    for bad in cases:
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+        # and the dispatch-level contract: degrade, don't propagate
+        assert _try_decode(bad) is None
+
+
 def test_jpeg_via_multimodal_dispatch(spark):
     """Real JPEG payloads flow through decode_and_featurize with
     allow_fake=False; since JPEG is lossy, the contract is that the

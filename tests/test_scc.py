@@ -84,3 +84,18 @@ def test_scc_nested_chain_of_cycles(spark):
         for r in strongly_connected_components(spark, _edges_df(spark, pairs)).collect()
     }
     assert got == {100: 100, 101: 100, 50: 50, 51: 50, 1: 1, 2: 1}
+
+
+def test_scc_descending_id_path_peels_in_log_rounds(spark):
+    """r4 ADVICE worst case: a plain path whose ids DESCEND along edge
+    direction. Raw-id coloring roots exactly one vertex per peel round
+    (n rounds — RuntimeError past max_rounds=64); salted-hash
+    priorities make the expected root chain O(log n), so a 200-vertex
+    descending path must finish comfortably inside the default cap."""
+    n = 200
+    pairs = [(i + 1, i) for i in range(n - 1)]
+    got = {
+        r.id: r.scc_id
+        for r in strongly_connected_components(spark, _edges_df(spark, pairs)).collect()
+    }
+    assert got == {i: i for i in range(n)}

@@ -313,8 +313,9 @@ def scc_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
 def walks_oracle(edges: list[tuple[int, int]], walk_length: int,
                  num_walks: int, seed: int) -> dict[tuple[int, int, int], int]:
     """Replays the md5 hash-family walk rule in pure python:
-    rank = int(md5(f"{seed}:{step}:{cur}:{walk_no}")[:15], 16) % deg,
-    neighbors ranked ascending by id."""
+    rank = int(md5(f"{seed}:{step}:{cur}:{walk_no}:{start}")[:15], 16)
+    % deg, neighbors ranked ascending by id (start in the key so
+    same-walk_no walks meeting at a vertex don't share suffixes)."""
     import hashlib
 
     adj: dict[int, list[int]] = {}
@@ -333,7 +334,7 @@ def walks_oracle(edges: list[tuple[int, int]], walk_length: int,
                     break
                 h = int(
                     hashlib.md5(
-                        f"{seed}:{step}:{cur}:{w}".encode()
+                        f"{seed}:{step}:{cur}:{w}:{start}".encode()
                     ).hexdigest()[:15],
                     16,
                 )
