@@ -20,11 +20,25 @@ from pyspark.sql import types as T
 # --- symbol extraction -------------------------------------------------
 
 _IMPORT_RE = {
-    # one compiled regex per supported language; extend per lang.
-    "python": re.compile(r"^\s*(?:import|from)\s+([A-Za-z_][\w.]*)", re.M),
+    # One compiled regex per supported language, single capture group =
+    # the referenced symbol. Kept RE2-compatible on purpose: the DuckDB
+    # corpus_edges oracle replays these same patterns character for
+    # character (queries.py _SQL_CORPUS_EDGES), so stick to (?m), (?:),
+    # \b, explicit char classes — no lookbehind/backrefs.
+    "python": re.compile(r"^\s*(?:import|from)\s+([A-Za-z_][A-Za-z0-9_.]*)", re.M),
     "c": re.compile(r'^\s*#\s*include\s*[<"]([^>"]+)[>"]', re.M),
     "go": re.compile(r'^\s*import\s+"([^"]+)"', re.M),
+    # `import x from 'm'` / side-effect `import 'm'` / `require('m')`
+    "javascript": re.compile(
+        r"(?:\bfrom\s+|\brequire\(\s*|^\s*import\s+)['\"]([^'\"]+)['\"]", re.M
+    ),
+    "java": re.compile(
+        r"^\s*import\s+(?:static\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s*;", re.M
+    ),
+    "rust": re.compile(r"^\s*(?:pub\s+)?use\s+([A-Za-z_][A-Za-z0-9_:]*)", re.M),
 }
+# TypeScript import syntax is JavaScript's.
+_IMPORT_RE["typescript"] = _IMPORT_RE["javascript"]
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -43,12 +57,14 @@ def extract_refs(content: pd.Series, lang: pd.Series) -> pd.Series:
 
 
 def defined_symbol() -> F.Column:
-    """Symbol a file *defines* — declared in its module header line.
+    """Symbol a file *defines* — declared in its module header comment
+    (``# module: x`` in hash-comment languages, ``// module: x`` in
+    slash-comment ones).
 
     Pure JVM-side regexp (codegen'd); analogous to the reference's
     producer-side hash build on output tensor names (graph.py:12-15).
     """
-    return F.regexp_extract(F.col("content"), r"# module: ([\w.]+)", 1)
+    return F.regexp_extract(F.col("content"), r"(?:#|//) module: ([\w.]+)", 1)
 
 
 # --- content integrity --------------------------------------------------

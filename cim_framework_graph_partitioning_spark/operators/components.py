@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.superstep import SuperstepRunner
+from ..plans.scale import auto_blocks
 from .edges import symmetrize
 
 
@@ -48,7 +49,7 @@ def connected_components(
             spark, edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir,
             resume=resume, run_id=run_id,
         )
-    p = spark.sparkContext.defaultParallelism
+    p = auto_blocks(edges.count(), spark.sparkContext.defaultParallelism)
     und = symmetrize(edges).select("src_id", "dst_id").repartition(p, "src_id").persist()
     verts = (
         und.select(F.col("src_id").alias("id"))
@@ -118,7 +119,7 @@ def _cc_two_phase(
     signature (count + two independent hash sums) — one scalar action
     per superstep, the driver never holds edges.
     """
-    p = spark.sparkContext.defaultParallelism
+    p = auto_blocks(edges.count(), spark.sparkContext.defaultParallelism)
     verts = (
         edges.select(F.col("src_id").alias("id"))
         .unionByName(edges.select(F.col("dst_id").alias("id")))

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.barrier import PlanBarrier
+from ..plans.scale import auto_blocks
 
 
 def topological_levels(
@@ -39,7 +40,7 @@ def topological_levels(
     Each round removes the current in-degree-0 frontier; a vertex's
     level is the round it was peeled. Raises ValueError on a cycle.
     """
-    p = spark.sparkContext.defaultParallelism
+    p = auto_blocks(edges.count(), spark.sparkContext.defaultParallelism)
     remaining_edges = edges.select("src_id", "dst_id").distinct().persist()
     remaining = (
         remaining_edges.select(F.col("src_id").alias("id"))
@@ -89,14 +90,19 @@ def longest_path_lengths(
     edges) of the longest path ENDING at id. Iterative relaxation to
     fixpoint (reference graph.py:36-44 computes exactly this, plus
     predecessor links recoverable by one extra join at the end)."""
+    p = auto_blocks(edges.count(), spark.sparkContext.defaultParallelism)
     verts = (
         edges.select(F.col("src_id").alias("id"))
         .unionByName(edges.select(F.col("dst_id").alias("id")))
         .distinct()
     )
     barrier = PlanBarrier(spark, tag="longest_path")
-    dist = verts.select("id", F.lit(0).alias("dist")).localCheckpoint(eager=True)
-    e = edges.select("src_id", "dst_id").distinct().persist()
+    dist = (
+        verts.select("id", F.lit(0).alias("dist"))
+        .repartition(p, "id")
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select("src_id", "dst_id").distinct().repartition(p, "src_id").persist()
     for _ in range(max_iter):
         cand = (
             dist.join(e, dist.id == e.src_id)

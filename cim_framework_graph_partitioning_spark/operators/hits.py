@@ -48,6 +48,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.scale import auto_blocks
 from ..plans.superstep import SuperstepRunner
 
 
@@ -69,7 +70,7 @@ def hits(
     Hub and auth vectors are each unit-L2-normalized.
     """
     sc = spark.sparkContext
-    p = num_blocks or sc.defaultParallelism
+    p = num_blocks or auto_blocks(edges.count(), sc.defaultParallelism)
 
     verts = (
         edges.select(F.col("src_id").alias("id"))

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.scale import auto_blocks
 from ..plans.superstep import SuperstepRunner
 
 
@@ -71,7 +72,9 @@ def coreness(
     The input is treated as undirected: edges are symmetrized and
     deduplicated before the fixpoint iteration.
     """
-    p = num_blocks or spark.sparkContext.defaultParallelism
+    p = num_blocks or auto_blocks(
+        edges.count(), spark.sparkContext.defaultParallelism
+    )
 
     # rename once: the init state derives from the same edge plan, so the
     # per-step join would otherwise be an ambiguous self-join

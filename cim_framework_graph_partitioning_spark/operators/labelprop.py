@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.barrier import PlanBarrier
+from ..plans.scale import auto_blocks
 from ..plans.superstep import SuperstepRunner
 from .edges import symmetrize
 
@@ -36,7 +37,7 @@ def label_propagation(
     with the deterministic tie-break both stopping modes are reproducible
     bit-for-bit across partitionings.
     """
-    p = spark.sparkContext.defaultParallelism
+    p = auto_blocks(edges.count(), spark.sparkContext.defaultParallelism)
     und = symmetrize(edges).repartition(p, "src_id").persist()
     verts = (
         und.select(F.col("src_id").alias("id"))
@@ -120,7 +121,7 @@ def anchored_label_propagation(
     total_steps). Per step: one join + one groupBy-min over the cached
     symmetrized edge table — the same scale shape as plain LPA.
     """
-    p = spark.sparkContext.defaultParallelism
+    p = auto_blocks(edges.count(), spark.sparkContext.defaultParallelism)
     und = symmetrize(edges).repartition(p, "src_id").persist()
     verts = (
         und.select(F.col("src_id").alias("id"))

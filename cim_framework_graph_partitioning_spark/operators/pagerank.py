@@ -58,6 +58,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.scale import auto_blocks
 from ..plans.superstep import SuperstepRunner
 
 
@@ -109,7 +110,11 @@ def pagerank(
     source set is assumed broadcast-small (it is a user-picked seed
     set, not a data-scale table)."""
     sc = spark.sparkContext
-    p = num_blocks or sc.defaultParallelism
+    if num_blocks is None:
+        # one count of the input edge table (usually caller-cached or a
+        # parquet metadata read) buys a per-superstep-right-sized plan
+        num_blocks = auto_blocks(edges.count(), sc.defaultParallelism)
+    p = num_blocks
 
     src_ids = edges.select(F.col("src_id").alias("id")).distinct()
     verts = src_ids.unionByName(edges.select(F.col("dst_id").alias("id"))).distinct()

@@ -53,6 +53,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.barrier import PlanBarrier, release_checkpoint
+from ..plans.scale import auto_blocks
 from .edges import symmetrize
 
 
@@ -182,7 +183,7 @@ def balanced_partition(
     if objective_mode not in OBJECTIVE_MODES:
         raise ValueError(f"objective_mode must be one of {OBJECTIVE_MODES}")
     alpha = _cut_scale(objective_mode)
-    p = spark.sparkContext.defaultParallelism
+    p = auto_blocks(edges.count(), spark.sparkContext.defaultParallelism)
     und = symmetrize(edges).repartition(p, "src_id").persist()
     verts = (
         und.select(F.col("src_id").alias("id"))

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.scale import auto_blocks
 from ..plans.superstep import SuperstepRunner
 
 
@@ -58,7 +59,9 @@ def shortest_paths(
     absent from the graph are ignored. ``dist`` is NULL for vertices
     unreachable from every source.
     """
-    p = num_blocks or spark.sparkContext.defaultParallelism
+    p = num_blocks or auto_blocks(
+        edges.count(), spark.sparkContext.defaultParallelism
+    )
 
     neg = edges.filter(F.col("weight") < 0).limit(1).count()
     if neg:

@@ -36,9 +36,27 @@ max-id root; matches connected_components' labeling convention).
 Scale shape: all three phases are keyed joins/aggregations over the
 remaining-edge table, re-persisted per round hash-partitioned by
 src_id; only (id, color[, flag]) state shuffles inside the fixpoints;
-plan lineage is truncated every iteration via PlanBarrier. No
-driver-side collect carries vertex data — convergence metrics are
-scalar counts.
+plan lineage is truncated via PlanBarrier. No driver-side collect
+carries vertex data — convergence metrics are scalar counts.
+
+Two fixpoint-loop cost controls (both matter because iterations are
+diameter-bounded, so a 25-cycle costs ~25 tiny Spark jobs if done
+naively):
+
+* block count auto-scales to the live vertex count (``num_blocks``
+  overrides): a 16k-vertex fixpoint on 16 shuffle partitions is pure
+  task-scheduling overhead, while the same code on a 10^11-vertex
+  graph picks the parallelism the data needs.
+* ``fuse_steps`` propagation steps run LAZILY per materialization:
+  one Spark job executes B chained join-steps, then a single
+  count + PlanBarrier cut. Monotone max-propagation makes overshoot
+  harmless (steps past the fixpoint are no-ops on empty frontiers),
+  so convergence is checked on the last fused step only. Within a
+  segment each step references its predecessor twice (state join +
+  candidate build), so un-reused work DOUBLES per fused step —
+  measured: fuse=2 halves wall clock vs fuse=1, fuse=4 is already
+  slower than fuse=1 (2^B recompute beats the job-count saving).
+  Keep fuse_steps at 2.
 """
 
 from __future__ import annotations
@@ -56,12 +74,13 @@ def strongly_connected_components(
     max_iter: int = 10_000,
     num_blocks: int | None = None,
     salt: int = 0x5CC,
+    fuse_steps: int = 2,
+    rows_per_block: int = 50_000,
 ) -> DataFrame:
     """Returns (id, scc_id) for every vertex appearing in ``edges``;
     scc_id = min id in the vertex's strongly connected component.
     Self-loops don't affect the decomposition (a self-loop-only vertex
     is its own singleton SCC)."""
-    p = num_blocks or spark.sparkContext.defaultParallelism
     barrier = PlanBarrier(spark, tag="scc")
 
     # vertex set from the UNFILTERED edges (self-loop-only vertices
@@ -73,13 +92,17 @@ def strongly_connected_components(
         .distinct()
         .persist()
     )
-    remaining = (
+    verts = (
         edges.select(F.col("src_id").alias("id"))
         .unionByName(edges.select(F.col("dst_id").alias("id")))
         .distinct()
-        .repartition(p, "id")
-        .localCheckpoint(eager=True)
     )
+    n_verts = verts.count()
+    p = num_blocks or max(
+        2,
+        min(spark.sparkContext.defaultParallelism, -(-n_verts // rows_per_block)),
+    )
+    remaining = verts.repartition(p, "id").localCheckpoint(eager=True)
     result: DataFrame | None = None
 
     rounds = 0
@@ -110,32 +133,35 @@ def strongly_connected_components(
         color = remaining.select(
             "id", own_color.alias("color"), F.lit(True).alias("chg")
         ).localCheckpoint(eager=True)
-        for _i in range(max_iter):
-            frontier = color.filter(F.col("chg")).select("id", "color")
+
+        def color_step(state: DataFrame) -> DataFrame:
+            frontier = state.filter(F.col("chg")).select("id", "color")
             cand = (
                 frontier.hint("shuffle_hash")
                 .join(er, frontier.id == er.src_id)
                 .groupBy(F.col("dst_id").alias("cid"))
                 .agg(F.max("color").alias("cand"))
             )
-            new_color = (
-                color.join(cand.hint("shuffle_hash"),
-                           color.id == cand.cid, "left")
-                .select(
-                    "id",
-                    F.greatest(
-                        F.col("color"), F.coalesce(F.col("cand"), F.col("color"))
-                    ).alias("color"),
-                    (
-                        F.col("cand").isNotNull()
-                        & (F.col("cand") > F.col("color"))
-                    ).alias("chg"),
-                )
-                .persist()
+            return state.join(
+                cand.hint("shuffle_hash"), state.id == cand.cid, "left"
+            ).select(
+                "id",
+                F.greatest(
+                    F.col("color"), F.coalesce(F.col("cand"), F.col("color"))
+                ).alias("color"),
+                (
+                    F.col("cand").isNotNull() & (F.col("cand") > F.col("color"))
+                ).alias("chg"),
             )
-            changed = new_color.filter(F.col("chg")).count()
-            trunc = barrier.cut(new_color)
-            new_color.unpersist()
+
+        for _i in range(max_iter):
+            seg = color
+            for _b in range(fuse_steps):
+                seg = color_step(seg)
+            seg = seg.persist()
+            changed = seg.filter(F.col("chg")).count()
+            trunc = barrier.cut(seg)
+            seg.unpersist()
             color = trunc
             if changed == 0:
                 break
@@ -155,8 +181,8 @@ def strongly_connected_components(
             (own_color == F.col("color")).alias("in_scc"),
             (own_color == F.col("color")).alias("frontier"),
         ).localCheckpoint(eager=True)
-        for _i in range(max_iter):
-            marked = reach.filter(F.col("frontier")).select(
+        def reach_step(state: DataFrame) -> DataFrame:
+            marked = state.filter(F.col("frontier")).select(
                 F.col("id").alias("m_id"), F.col("color").alias("m_color")
             )
             # candidate hits, deduped BEFORE the state join so the
@@ -165,7 +191,7 @@ def strongly_connected_components(
             newly = (
                 er.join(marked.hint("shuffle_hash"), er.dst_id == marked.m_id)
                 .join(
-                    reach.select("id", F.col("color").alias("v_color")),
+                    state.select("id", F.col("color").alias("v_color")),
                     er.src_id == F.col("id"),
                 )
                 .filter(F.col("m_color") == F.col("v_color"))
@@ -173,22 +199,23 @@ def strongly_connected_components(
                 .distinct()
                 .withColumn("_hit", F.lit(True))
             )
-            new_reach = (
-                reach.join(newly.hint("shuffle_hash"), "id", "left")
-                .select(
-                    "id",
-                    "color",
-                    (F.col("in_scc") | F.coalesce(F.col("_hit"), F.lit(False))).alias("in_scc"),
-                    (
-                        F.coalesce(F.col("_hit"), F.lit(False))
-                        & ~F.col("in_scc")
-                    ).alias("frontier"),
-                )
-                .persist()
+            return state.join(newly.hint("shuffle_hash"), "id", "left").select(
+                "id",
+                "color",
+                (F.col("in_scc") | F.coalesce(F.col("_hit"), F.lit(False))).alias("in_scc"),
+                (
+                    F.coalesce(F.col("_hit"), F.lit(False)) & ~F.col("in_scc")
+                ).alias("frontier"),
             )
-            changed = new_reach.filter(F.col("frontier")).count()
-            trunc = barrier.cut(new_reach)
-            new_reach.unpersist()
+
+        for _i in range(max_iter):
+            seg = reach
+            for _b in range(fuse_steps):
+                seg = reach_step(seg)
+            seg = seg.persist()
+            changed = seg.filter(F.col("frontier")).count()
+            trunc = barrier.cut(seg)
+            seg.unpersist()
             reach = trunc
             if changed == 0:
                 break

@@ -1354,12 +1354,15 @@ def q_corpus_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule edge-derivation half of corpus_pipeline, fully
     oracled: a SQL-reproducible corpus (modular arithmetic instead of
     xxhash64 draws — the ONLY difference from synthesize_corpus) flows
-    through the REAL operators — extract_refs (Arrow pandas-UDF regex),
-    defined_symbol (JVM regexp), derive_edges (symbol equi-join +
-    (src,dst) aggregation + self-edge filter) — and the result is keyed
-    back to (repo, path) via the derived vertex table so DuckDB can
-    reproduce it bit-for-bit (reference precedent: the tensor-name
-    equi-join IS the reference's graph construction, graph.py:7-24)."""
+    through the REAL operators — extract_refs (Arrow pandas-UDF regex,
+    all SIX language patterns: python/c/go/javascript/java/rust, each
+    file in its language's idiomatic import syntax), defined_symbol
+    (JVM regexp), derive_edges (symbol equi-join + (src,dst)
+    aggregation + self-edge filter) — and the result is keyed back to
+    (repo, path) via the derived vertex table so DuckDB can reproduce
+    it bit-for-bit (reference precedent: the tensor-name equi-join IS
+    the reference's graph construction — language-agnostic on names,
+    graph.py:7-24)."""
     files = synthesize_corpus_modular(spark, n_files=500, n_repos=10)
     g = derive_edges(files)
     src_v = g.vertices.select(
@@ -1376,33 +1379,61 @@ def q_corpus_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bit-exact replica: regenerate the modular corpus (printf arithmetic),
-# replicate _IMPORT_RE['python'] and the '# module:' header regex
-# (functions/text.py:24,51) in RE2, then the same equi-join + group-by.
-# Path-keyed edge body (src_id/dst_id ARE paths) — shared between the
-# corpus_edges oracle and the corpus_pipeline convergence oracle.
+# Bit-exact replica: regenerate the modular six-language corpus (printf
+# arithmetic; file i is written in LANG_SPECS[i % 6] with its idiomatic
+# import syntax), replicate every _IMPORT_RE pattern and the
+# '#|// module:' header regex (functions/text.py) in RE2, then the same
+# equi-join + group-by. Path-keyed edge body (src_id/dst_id ARE paths) —
+# shared between the corpus_edges oracle and the corpus_pipeline
+# convergence oracle.
 _SQL_CORPUS_EDGES = r"""
-  WITH files AS MATERIALIZED (
-    SELECT i,
-           printf('src/m%07d.py', i) AS path,
-           printf('# module: mod_%07d', i) || chr(10) ||
-           'import mod_0000000' || chr(10) ||
+  WITH langmap AS (
+    SELECT * FROM (VALUES
+      (0, 'py',   '# ',  'import ',     ''),
+      (1, 'c',    '// ', '#include "',  '"'),
+      (2, 'go',   '// ', 'import "',    '"'),
+      (3, 'js',   '// ', NULL,          NULL),
+      (4, 'java', '// ', 'import ',     ';'),
+      (5, 'rs',   '// ', 'use ',        ';')
+    ) t(li, ext, cmt, ipre, isuf)),
+  files AS MATERIALIZED (
+    SELECT i, li,
+           printf('src/m%07d.%s', i, ext) AS path,
+           cmt || printf('module: mod_%07d', i) || chr(10) ||
+           CASE WHEN li = 3 THEN 'const x-1 = require(''mod_0000000'')'
+                ELSE ipre || 'mod_0000000' || isuf END || chr(10) ||
            array_to_string(
              list_transform(generate_series(0, CAST(i % 7 AS INT)),
-               k -> printf('import mod_%07d', (i*31 + k*17 + 1) % 500)),
+               k -> CASE WHEN li = 3 THEN
+                      CASE WHEN k % 2 = 0
+                        THEN printf('import x%d from ''mod_%07d''',
+                                    k, (i*31 + k*17 + 1) % 500)
+                        ELSE printf('const x%d = require(''mod_%07d'')',
+                                    k, (i*31 + k*17 + 1) % 500)
+                      END
+                    ELSE ipre || printf('mod_%07d', (i*31 + k*17 + 1) % 500)
+                         || isuf END),
              chr(10)) ||
-           chr(10) || 'def main():' || chr(10) || '    return 0' AS content
-    FROM range(500) t(i)),
+           chr(10) || cmt || 'body: 0' AS content
+    FROM range(500) t(i) JOIN langmap ON langmap.li = i % 6),
+  rxmap AS (
+    SELECT * FROM (VALUES
+      (0, '(?m)^\s*(?:import|from)\s+([A-Za-z_][A-Za-z0-9_.]*)'),
+      (1, '(?m)^\s*#\s*include\s*[<"]([^>"]+)[>"]'),
+      (2, '(?m)^\s*import\s+"([^"]+)"'),
+      (3, '(?m)(?:\bfrom\s+|\brequire\(\s*|^\s*import\s+)[''"]([^''"]+)[''"]'),
+      (4, '(?m)^\s*import\s+(?:static\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s*;'),
+      (5, '(?m)^\s*(?:pub\s+)?use\s+([A-Za-z_][A-Za-z0-9_:]*)')
+    ) t(li, rx)),
   defs AS (
     SELECT path AS dst_path,
-           regexp_extract(content, '# module: ([A-Za-z0-9_.]+)', 1) AS symbol
+           regexp_extract(content, '(?:#|//) module: ([A-Za-z0-9_.]+)', 1) AS symbol
     FROM files
-    WHERE regexp_extract(content, '# module: ([A-Za-z0-9_.]+)', 1) <> ''),
+    WHERE regexp_extract(content, '(?:#|//) module: ([A-Za-z0-9_.]+)', 1) <> ''),
   refs AS (
     SELECT path AS src_path,
-           unnest(regexp_extract_all(content,
-              '(?m)^\s*(?:import|from)\s+([A-Za-z_][A-Za-z0-9_.]*)', 1)) AS symbol
-    FROM files)
+           unnest(regexp_extract_all(content, rx, 1)) AS symbol
+    FROM files JOIN rxmap USING (li))
   SELECT r.src_path AS src_id, d.dst_path AS dst_id,
          CAST(count(*) AS DOUBLE) AS weight
   FROM refs r JOIN defs d USING (symbol)

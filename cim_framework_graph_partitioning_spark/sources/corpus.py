@@ -22,6 +22,49 @@ from pyspark.sql import functions as F
 
 HASH_MOD = 2**31
 
+# Language rotation for the mixed-language corpus: file i is written in
+# LANG_SPECS[i % 6]. Each spec = (lang, path extension, header comment
+# prefix). Import-line syntax per language lives in _import_line; the
+# module NAMESPACE is shared (file i defines mod_i regardless of
+# language), mirroring how the reference's tensor-name equi-join is
+# language-agnostic (reference: graph.py:12-23).
+LANG_SPECS = (
+    ("python", "py", "# "),
+    ("c", "c", "// "),
+    ("go", "go", "// "),
+    ("javascript", "js", "// "),
+    ("java", "java", "// "),
+    ("rust", "rs", "// "),
+)
+_LANG_ARR = [l for l, _, _ in LANG_SPECS]
+_EXT_ARR = [e for _, e, _ in LANG_SPECS]
+_CMT_ARR = [c for _, _, c in LANG_SPECS]
+
+
+def _pick(idx: F.Column, values: list[str]) -> F.Column:
+    """values[idx] as a columnar expression (element_at is 1-based)."""
+    return F.element_at(F.array(*[F.lit(v) for v in values]), idx + 1)
+
+
+def _import_line(lang_idx: F.Column, k: F.Column, modname: F.Column) -> F.Column:
+    """The language-idiomatic line referencing ``modname`` (draw k is
+    only used by javascript, which alternates ESM import / CJS require
+    so both extraction branches are exercised)."""
+    js = F.when(
+        F.pmod(k, F.lit(2)) == 0,
+        F.format_string("import x%s from '%s'", k.cast("string"), modname),
+    ).otherwise(
+        F.format_string("const x%s = require('%s')", k.cast("string"), modname)
+    )
+    return (
+        F.when(lang_idx == 0, F.concat(F.lit("import "), modname))
+        .when(lang_idx == 1, F.concat(F.lit('#include "'), modname, F.lit('"')))
+        .when(lang_idx == 2, F.concat(F.lit('import "'), modname, F.lit('"')))
+        .when(lang_idx == 3, js)
+        .when(lang_idx == 4, F.concat(F.lit("import "), modname, F.lit(";")))
+        .otherwise(F.concat(F.lit("use "), modname, F.lit(";")))
+    )
+
 
 def _u01(*cols) -> F.Column:
     """Deterministic uniform [0,1) from hashed columns."""
@@ -47,7 +90,8 @@ def synthesize_corpus(
     i = F.col("id")
     repo_idx = (i * n_repos / F.lit(n_files)).cast("long")
     repo = F.format_string("repo_%04d", repo_idx)
-    path = F.format_string("src/m%07d.py", i)
+    lang_idx = F.pmod(i, F.lit(len(LANG_SPECS))).cast("int")
+    path = F.concat(F.format_string("src/m%07d.", i), _pick(lang_idx, _EXT_ARR))
     module = F.format_string("mod_%07d", i)
     n_imports = (F.pmod(F.xxhash64(i, F.lit(seed), F.lit("n_imp")), F.lit(max_imports)) + 1).cast("int")
 
@@ -60,11 +104,12 @@ def synthesize_corpus(
 
     import_lines = F.transform(
         F.sequence(F.lit(0), n_imports - 1),
-        lambda k: F.format_string("import mod_%07d", target(k)),
+        lambda k: _import_line(lang_idx, k, F.format_string("mod_%07d", target(k))),
     )
-    header = F.format_string("# module: mod_%07d", i)
+    header = F.concat(_pick(lang_idx, _CMT_ARR), F.lit("module: "), module)
     body = F.concat(
-        F.lit("def main():\n    return "),
+        _pick(lang_idx, _CMT_ARR),
+        F.lit("body: "),
         F.conv(F.hex(F.abs(F.xxhash64(i, F.lit(seed), F.lit("body")))), 16, 10),
     )
     content = F.concat_ws("\n", header, F.concat_ws("\n", import_lines), body)
@@ -74,7 +119,7 @@ def synthesize_corpus(
         repo.alias("repo"),
         path.alias("path"),
         commit.alias("commit"),
-        F.lit("python").alias("lang"),
+        _pick(lang_idx, _LANG_ARR).alias("lang"),
         content.alias("content"),
     )
 
@@ -88,32 +133,37 @@ def synthesize_corpus_modular(
     pseudo-random draw is plain modular arithmetic (no xxhash64), so a
     DuckDB query can regenerate the IDENTICAL corpus and replicate the
     symbol-extraction regexes + equi-join bit-for-bit (queries.py
-    ``corpus_edges``). File i defines mod_i, imports the hub mod_0 plus
-    (i mod 7)+1 modular targets — hub weight-2 edges and self-import
-    filtering both occur, so the aggregation and self-edge paths are
-    exercised, not just the join."""
+    ``corpus_edges``). File i is written in LANG_SPECS[i % 6] (all six
+    supported languages, each with its idiomatic import syntax over the
+    shared mod_* namespace), defines mod_i, and imports the hub mod_0
+    plus (i mod 7)+1 modular targets — hub weight-2 edges and
+    self-import filtering both occur, so the aggregation and self-edge
+    paths are exercised, not just the join."""
     base = spark.range(n_files)
     i = F.col("id")
+    lang_idx = F.pmod(i, F.lit(len(LANG_SPECS))).cast("int")
     import_lines = F.transform(
         F.sequence(F.lit(0), F.pmod(i, F.lit(7)).cast("int")),
-        lambda k: F.format_string(
-            "import mod_%07d", F.pmod(i * 31 + k * 17 + 1, F.lit(n_files))
+        lambda k: _import_line(
+            lang_idx,
+            k,
+            F.format_string("mod_%07d", F.pmod(i * 31 + k * 17 + 1, F.lit(n_files))),
         ),
     )
     content = F.concat_ws(
         "\n",
-        F.format_string("# module: mod_%07d", i),
-        F.lit("import mod_0000000"),
+        F.concat(_pick(lang_idx, _CMT_ARR), F.format_string("module: mod_%07d", i)),
+        _import_line(lang_idx, F.lit(-1), F.lit("mod_0000000")),
         F.concat_ws("\n", import_lines),
-        F.lit("def main():\n    return 0"),
+        F.concat(_pick(lang_idx, _CMT_ARR), F.lit("body: 0")),
     )
     repo = F.format_string("repo_%04d", F.pmod(i, F.lit(n_repos)))
-    path = F.format_string("src/m%07d.py", i)
+    path = F.concat(F.format_string("src/m%07d.", i), _pick(lang_idx, _EXT_ARR))
     return base.select(
         repo.alias("repo"),
         path.alias("path"),
         F.substring(F.sha2(F.concat(repo, path, F.lit("v1")), 256), 1, 40).alias("commit"),
-        F.lit("python").alias("lang"),
+        _pick(lang_idx, _LANG_ARR).alias("lang"),
         content.alias("content"),
     )
 
