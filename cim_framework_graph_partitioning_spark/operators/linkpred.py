@@ -46,7 +46,14 @@ def adamic_adar_pairs(
     """Returns (src_id, dst_id, common_neighbors, aa_score) for every
     NON-adjacent pair src_id < dst_id with >= ``min_common`` common
     neighbors (centers above ``max_degree`` excluded from wedges)."""
-    und = _undirected(edges).persist()
+    # Materialize the symmetrized edge table ONCE: the returned plan
+    # scans it three times (wedge join x2 + the anti-join), and it must
+    # still be materialized when the CALLER executes that plan — a
+    # persist/unpersist pair inside this function would be released
+    # before the first action (r4 VERDICT #5). localCheckpoint ties the
+    # cached RDD's lifetime to the returned plan: the context cleaner
+    # frees it when the caller drops the result.
+    und = _undirected(edges).localCheckpoint(eager=True)
     deg = und.groupBy(F.col("src_id").alias("z")).agg(
         F.count("*").cast("long").alias("deg")
     )
@@ -63,9 +70,6 @@ def adamic_adar_pairs(
         F.count("*").cast("long").alias("common_neighbors"),
         F.sum(1.0 / F.log(F.col("deg").cast("double"))).alias("aa_score"),
     )
-    out = (
-        scored.join(und, ["src_id", "dst_id"], "left_anti")
-        .filter(F.col("common_neighbors") >= min_common)
+    return scored.join(und, ["src_id", "dst_id"], "left_anti").filter(
+        F.col("common_neighbors") >= min_common
     )
-    und.unpersist()
-    return out

@@ -35,7 +35,7 @@ from .operators.pagerank import pagerank
 from .operators.partitioner import balanced_partition
 from .operators.paths import shortest_paths
 from .operators.scc import strongly_connected_components
-from .operators.walks import random_walks
+from .operators.walks import biased_walks, random_walks
 from .operators.similarity import brute_force_topk
 from .operators.triangles import local_clustering_coefficient, triangle_count
 from .sources.corpus import synthesize_corpus_modular
@@ -1954,6 +1954,86 @@ SELECT start_id, walk_no, step, vertex_id FROM ({allsteps}) u
 ORDER BY start_id, walk_no, step"""
 
 
+def q_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec-style second-order biased walks (operators/walks.py
+    biased_walks) on the symmetrized co-part graph: 2 walks of length 4
+    per vertex with integer weights (return=1, common=4, far=2) — i.e.
+    node2vec p=4, q=2 scaled by 4 — so all three weight classes occur
+    and every cumulative-mass selection is exact integer arithmetic the
+    DuckDB unroll replays bit-for-bit (md5 family)."""
+    e0 = co_part_edges(spark, sf_dir).select("src_id", "dst_id")
+    und = e0.unionByName(
+        e0.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
+    ).withColumn("weight", F.lit(1.0))
+    return biased_walks(
+        spark, und, walk_length=4, num_walks=2, seed=7,
+        return_weight=1, common_weight=4, far_weight=2, hash_family="md5",
+    ).orderBy("start_id", "walk_no", "step")
+
+
+def _biased_walks_sql(walk_length: int, num_walks: int, seed: int,
+                      wr: int, wc: int, wf: int) -> str:
+    """Unrolled replay of the biased walk rule. Step 1 is the uniform
+    rank rule (identical to _walks_sql); step >= 2 rebuilds the
+    candidate table (weight wr on backtrack, wc on prev-neighbors via a
+    LEFT JOIN against the distinct pair set, wf otherwise), takes the
+    integer running/total weight sums per walker ordered by dst_id, and
+    keeps the row whose [cum - wgt, cum) interval contains
+    hash % tot — all-integer arithmetic, so bit-exact vs Spark."""
+    pre = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART}),
+und AS (SELECT src_id, dst_id FROM e0
+        UNION SELECT dst_id, src_id FROM e0),
+adj AS MATERIALIZED (
+  SELECT src_id, dst_id,
+         row_number() OVER (PARTITION BY src_id ORDER BY dst_id) - 1 AS r,
+         count(*) OVER (PARTITION BY src_id) AS deg
+  FROM und),
+s0 AS MATERIALIZED (
+  SELECT id AS start_id, walk_no, CAST(NULL AS BIGINT) AS prev, id AS cur
+  FROM (SELECT DISTINCT src_id AS id FROM adj)
+  CROSS JOIN (SELECT i AS walk_no FROM range({num_walks}) t(i))),
+s1 AS MATERIALIZED (
+  SELECT s.start_id, s.walk_no, s.cur AS prev, a.dst_id AS cur
+  FROM s0 s JOIN adj a ON a.src_id = s.cur
+   AND a.r = CAST(('0x' || substr(md5('{seed}:1:'
+                || CAST(s.cur AS VARCHAR) || ':'
+                || CAST(s.walk_no AS VARCHAR) || ':'
+                || CAST(s.start_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % a.deg)"""
+    body = ""
+    for i in range(2, walk_length + 1):
+        p = i - 1
+        body += f""",
+c{i} AS (
+  SELECT s.start_id, s.walk_no, s.prev, s.cur, a.dst_id,
+         CASE WHEN a.dst_id = s.prev THEN {wr}
+              WHEN e.src_id IS NOT NULL THEN {wc}
+              ELSE {wf} END AS wgt,
+         CAST(('0x' || substr(md5('{seed}:{i}:'
+              || CAST(s.cur AS VARCHAR) || ':'
+              || CAST(s.prev AS VARCHAR) || ':'
+              || CAST(s.walk_no AS VARCHAR) || ':'
+              || CAST(s.start_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM s{p} s JOIN adj a ON a.src_id = s.cur
+  LEFT JOIN adj e ON e.src_id = s.prev AND e.dst_id = a.dst_id),
+s{i} AS MATERIALIZED (
+  SELECT start_id, walk_no, cur AS prev, dst_id AS cur
+  FROM (SELECT *,
+               sum(wgt) OVER (PARTITION BY start_id, walk_no
+                              ORDER BY dst_id) AS cum,
+               sum(wgt) OVER (PARTITION BY start_id, walk_no) AS tot
+        FROM c{i})
+  WHERE tot > 0 AND h % tot >= cum - wgt AND h % tot < cum)"""
+    allsteps = "\nUNION ALL ".join(
+        f"SELECT start_id, walk_no, CAST({i} AS INT) AS step, cur AS vertex_id FROM s{i}"
+        for i in range(0, walk_length + 1)
+    )
+    return pre + body + f"""
+SELECT start_id, walk_no, step, vertex_id FROM ({allsteps}) u
+ORDER BY start_id, walk_no, step"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1982,6 +2062,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "scc_order_cycles": (q_scc_order_cycles, _ORACLE_SCC),
     "condensation": (q_condensation, _ORACLE_CONDENSATION),
     "random_walks": (q_random_walks, _walks_sql(4, num_walks=2, seed=7)),
+    "biased_walks": (
+        q_biased_walks,
+        _biased_walks_sql(4, num_walks=2, seed=7, wr=1, wc=4, wf=2),
+    ),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),

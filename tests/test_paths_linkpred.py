@@ -108,3 +108,21 @@ def test_adamic_adar_excludes_adjacent_and_caps_hubs(spark):
               for r in adamic_adar_pairs(df, max_degree=2).collect()}
     want = adamic_adar_oracle([(u, v) for u, v, _ in triples], max_degree=2)
     assert capped == {k: v[0] for k, v in want.items()}
+
+
+def test_adamic_adar_plan_reuses_materialized_und(spark):
+    """The symmetrized edge table must still be MATERIALIZED when the
+    caller executes the returned plan (r4 VERDICT #5: a
+    persist/unpersist pair inside the function was released before the
+    first action, so the plan's three und scans each recomputed the
+    symmetrize union from scratch). Mechanical check: the final plan's
+    und scans are ExistingRDD leaves — the symmetrize Union/distinct
+    must NOT appear in the executed plan."""
+    triples = [(0, i, 1.0) for i in range(1, 6)] + [(1, 2, 1.0)]
+    out = adamic_adar_pairs(_edges_df(spark, triples))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    # and the result is still correct after the lifecycle change
+    got = {(r.src_id, r.dst_id): r.common_neighbors for r in out.collect()}
+    assert got[(3, 4)] == 1 and (1, 2) not in got

@@ -341,3 +341,58 @@ def walks_oracle(edges: list[tuple[int, int]], walk_length: int,
                 cur = ns[h % len(ns)]
                 out[(start, w, step)] = cur
     return out
+
+
+def biased_walks_oracle(
+    edges: list[tuple[int, int]], walk_length: int, num_walks: int,
+    seed: int, return_weight: int, common_weight: int, far_weight: int,
+) -> dict[tuple[int, int, int], int]:
+    """Pure-python replay of the node2vec-style biased walk rule
+    (md5 hash family). Step 1 is the uniform rank rule (no prev);
+    step >= 2 picks the candidate (sorted by id) whose INTEGER
+    cumulative-weight interval contains
+    int(md5(f"{seed}:{step}:{cur}:{prev}:{w}:{start}")[:15], 16) % tot,
+    with weight return_weight if x == prev, common_weight if
+    (prev, x) is an edge, else far_weight. tot == 0 ends the walk."""
+    import hashlib
+
+    adj: dict[int, list[int]] = {}
+    for u, v in sorted(set(edges)):
+        adj.setdefault(u, []).append(v)
+    pairs = set(edges)
+    out: dict[tuple[int, int, int], int] = {}
+    for start in sorted(adj):
+        for w in range(num_walks):
+            cur, prev = start, None
+            out[(start, w, 0)] = cur
+            for step in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                if prev is None:
+                    h = int(hashlib.md5(
+                        f"{seed}:{step}:{cur}:{w}:{start}".encode()
+                    ).hexdigest()[:15], 16)
+                    nxt = nbrs[h % len(nbrs)]
+                else:
+                    wgts = [
+                        return_weight if x == prev
+                        else common_weight if (prev, x) in pairs
+                        else far_weight
+                        for x in nbrs
+                    ]
+                    tot = sum(wgts)
+                    if tot == 0:
+                        break
+                    r = int(hashlib.md5(
+                        f"{seed}:{step}:{cur}:{prev}:{w}:{start}".encode()
+                    ).hexdigest()[:15], 16) % tot
+                    cum = 0
+                    for x, g in zip(nbrs, wgts):
+                        cum += g
+                        if r < cum:
+                            nxt = x
+                            break
+                out[(start, w, step)] = nxt
+                prev, cur = cur, nxt
+    return out
