@@ -1899,6 +1899,83 @@ FROM m ORDER BY src_scc, dst_scc
 """
 
 
+def q_scc_dag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full make-any-digraph-schedulable composition (the shape of
+    the reference's whole process.py:94-150 pipeline, on CYCLIC input):
+    SCC decomposition → condensation → topological levels →
+    greedy chain decomposition, chained through the REAL operators in
+    one query. Input: the order-cycle graph sliced to customers ≡ 1
+    (mod 300) (~5 components at sf0.01 — chain_decomposition is a
+    contracted-graph operator, one driver round per emitted chain).
+
+    Closed form on the ring forest: each component condenses to the
+    2-vertex path custkey → ring-scc (scc_id = customer's min order id
+    + ORDER_OFFSET), so levels are 0/1, every chain is that 2-path, and
+    the greedy peel's (length desc, end-id asc) tie-break emits chains
+    in ascending ring-scc id. scc_size = the customer's order count.
+    Output: (chain_id, pos, scc_id, level, scc_size)."""
+    from .operators.dag import chain_decomposition, topological_levels
+
+    e = order_cycle_edges(spark, sf_dir, custkey_mod=300, custkey_rem=1)
+    sccs = strongly_connected_components(spark, e)
+    src_l = sccs.select(F.col("id").alias("src_id"), F.col("scc_id").alias("src_scc"))
+    dst_l = sccs.select(F.col("id").alias("dst_id"), F.col("scc_id").alias("dst_scc"))
+    cond = (
+        e.join(src_l, "src_id")
+        .join(dst_l, "dst_id")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy(
+            F.col("src_scc").alias("src_id"), F.col("dst_scc").alias("dst_id")
+        )
+        .agg(F.sum("weight").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    levels = topological_levels(spark, cond)
+    chains = chain_decomposition(spark, cond)
+    chain_df = spark.createDataFrame(
+        [
+            (int(ci), int(pos), int(v))
+            for ci, chain in enumerate(chains)
+            for pos, v in enumerate(chain)
+        ],
+        "chain_id long, pos long, scc_id long",
+    )
+    sizes = sccs.groupBy(F.col("scc_id")).agg(
+        F.count("*").cast("long").alias("scc_size")
+    )
+    return (
+        chain_df.join(levels, chain_df.scc_id == levels.id)
+        .join(sizes, "scc_id")
+        .select(
+            "chain_id", "pos", "scc_id",
+            F.col("level").cast("long").alias("level"),
+            "scc_size",
+        )
+        .orderBy("chain_id", "pos")
+    )
+
+
+_ORACLE_SCC_DAG_PIPELINE = f"""
+WITH sel AS (
+  SELECT o_custkey, min(o_orderkey) AS mo, count(*) AS n_orders
+  FROM orders WHERE o_custkey % 300 = 1 GROUP BY 1),
+ranked AS (
+  SELECT o_custkey, mo, n_orders,
+         row_number() OVER (ORDER BY mo ASC) - 1 AS chain_id
+  FROM sel)
+SELECT CAST(chain_id AS BIGINT) AS chain_id, CAST(0 AS BIGINT) AS pos,
+       CAST(o_custkey AS BIGINT) AS scc_id, CAST(0 AS BIGINT) AS level,
+       CAST(1 AS BIGINT) AS scc_size
+FROM ranked
+UNION ALL
+SELECT CAST(chain_id AS BIGINT), CAST(1 AS BIGINT),
+       CAST(mo + {ORDER_OFFSET} AS BIGINT), CAST(1 AS BIGINT),
+       CAST(n_orders AS BIGINT)
+FROM ranked
+ORDER BY chain_id, pos
+"""
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk-style walk corpus (operators/walks.py)
     on the symmetrized co-part graph: 2 walks of length 4 from every
@@ -2066,6 +2143,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q_biased_walks,
         _biased_walks_sql(4, num_walks=2, seed=7, wr=1, wc=4, wf=2),
     ),
+    "scc_dag_pipeline": (q_scc_dag_pipeline, _ORACLE_SCC_DAG_PIPELINE),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),

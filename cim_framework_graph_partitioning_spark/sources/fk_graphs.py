@@ -93,7 +93,12 @@ def co_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def order_cycle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def order_cycle_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    custkey_mod: int | None = None,
+    custkey_rem: int = 1,
+) -> DataFrame:
     """Directed graph with NON-TRIVIAL strongly connected components:
     per customer, its orders form a ring (order r → order r+1, last →
     first), plus an entry edge customer → first order. Every ring is
@@ -102,10 +107,18 @@ def order_cycle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     it). Ground truth is closed-form: scc_id of an order = its
     customer's min order id + ORDER_OFFSET — which is what makes this
     the oracle graph for the SCC driver query (the FK graphs are
-    otherwise all DAGs/bipartite: no cycles anywhere)."""
+    otherwise all DAGs/bipartite: no cycles anywhere).
+
+    ``custkey_mod``/``custkey_rem``: optional component slice — keep
+    only customers with o_custkey % custkey_mod == custkey_rem,
+    filtered at the ORDERS SCAN (filtering the edge table afterwards
+    would orphan other customers' ring tails). Used by driver queries
+    that feed the result into contracted-graph operators."""
     from pyspark.sql import Window
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if custkey_mod is not None:
+        o = o.filter(F.pmod(F.col("o_custkey"), F.lit(custkey_mod)) == custkey_rem)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     r = o.select(
         "o_custkey",

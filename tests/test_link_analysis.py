@@ -165,3 +165,23 @@ def test_personalized_uniform_sources_equals_classic(spark):
     g2 = {r.id: r.rank for r in r2.collect()}
     for k in g1:
         assert math.isclose(g1[k], g2[k], abs_tol=1e-12), k
+
+
+def test_coreness_planted_mega_hub(spark):
+    """r4 VERDICT #6: a planted high-degree hub must not put
+    degree-many rows into one window task. The histogram h-index keys
+    the shuffle on (vertex, value) and its per-vertex window sees
+    #distinct neighbor VALUES rows. Star with 30k leaves + a 4-clique
+    hanging off leaf 1 (hub NOT in the clique): hub and leaves coreness
+    1, clique coreness 3 — exact."""
+    n = 30_000
+    star = [(0, i, 1.0) for i in range(1, n + 1)]
+    cq = (n + 1, n + 2, n + 3, n + 4)
+    clique = [(u, v, 1.0) for u in cq for v in cq if u < v]
+    bridge = [(1, cq[0], 1.0)]
+    cores, _ = coreness(spark, _edges_df(spark, star + clique + bridge))
+    got = {r.id: r.core for r in cores.collect()}
+    assert got[0] == 1
+    assert all(got[i] == 3 for i in cq)
+    assert all(got[i] == 1 for i in range(1, 50))
+    assert len(got) == n + 5
