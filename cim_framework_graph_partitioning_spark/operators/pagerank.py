@@ -168,10 +168,6 @@ def pagerank(
         F.when(F.col("in_s"), F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias("rank"),
         "has_out",
     )
-    # driver-carried scalar: dangling mass of the CURRENT state. Lazily
-    # (re)computed from the state itself so resume-from-checkpoint sees
-    # the right value, not the fresh-run one.
-    state: dict[str, float | None] = {"dang": None}
 
     import os as _os
     import time as _time
@@ -186,13 +182,6 @@ def pagerank(
                 now = _time.monotonic()
                 print(f"    step {step} {label}: {now - _t:.2f}s", flush=True)
                 _t = now
-
-        if state["dang"] is None:
-            state["dang"] = float(
-                ranks.filter(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0]
-                or 0.0
-            )
-        _mark("dang_init")
         if mode == "csr":
             sums = _csr_contributions(ranks.select("id", "rank"), blocks, p)
         elif mode == "csr_arrow":
@@ -221,11 +210,28 @@ def pagerank(
             else:
                 sums = contribs.groupBy("dst_id").agg(F.sum("contrib").alias("s"))
 
-        # base rides in a 1-row broadcast table, NOT a literal: literals
-        # change per superstep and defeat the whole-stage-codegen cache
-        # (a serial driver-side recompile every step).
-        base = (1.0 - damping) / ns + damping * state["dang"] / ns
-        base_df = spark.createDataFrame([(float(base),)], "base double")
+        # base rides in a 1-row BROADCAST AGG of the current state, NOT
+        # a literal (per-step literals defeat the whole-stage-codegen
+        # cache — a serial driver recompile every step) and NOT a
+        # driver-round-tripped createDataFrame (measured 0.15-0.18s of
+        # per-step driver RPC): the dangling mass stays in-plan, the
+        # broadcast stage scans the cached checkpointed state, and
+        # resume-from-checkpoint sees the right value by construction.
+        # Arithmetic mirrors the former python expression term for term
+        # ((1-d)/ns constant + d * dang / ns), so results are bit-equal.
+        base_df = F.broadcast(
+            ranks.agg(
+                (
+                    F.lit((1.0 - damping) / ns)
+                    + F.lit(damping)
+                    * F.coalesce(
+                        F.sum(F.when(~F.col("has_out"), F.col("rank"))),
+                        F.lit(0.0),
+                    )
+                    / F.lit(float(ns))
+                ).alias("base")
+            )
+        )
         prev = ranks.select("id", F.col("rank").alias("prev")).hint("shuffle_hash")
         # teleport lands only on the source set; the classic uniform
         # path keeps its original branch-free expression
@@ -237,7 +243,7 @@ def pagerank(
         new_ranks = (
             verts.join(sums.hint("shuffle_hash"), verts.id == sums.dst_id, "left")
             .join(prev, "id")
-            .crossJoin(F.broadcast(base_df))
+            .crossJoin(base_df)
             .select(
                 "id",
                 (tele + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
@@ -255,10 +261,9 @@ def pagerank(
             F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias("dm"),
         ).collect()[0]
         _mark("stats_agg")
-        state["dang"] = float(row.dm or 0.0)
         return (
             newc.select("id", "rank", "has_out"),
-            {"max_delta": float(row.d), "dangling_mass": state["dang"]},
+            {"max_delta": float(row.d), "dangling_mass": float(row.dm or 0.0)},
         )
 
     runner = SuperstepRunner(
@@ -267,8 +272,16 @@ def pagerank(
     )
     # AQE off inside the loop: per-superstep re-planning costs driver
     # time every step and the loop's partitioning is already explicit.
+    # Shuffle partitions = p inside the loop for the same reason the
+    # cached tables use p: the per-superstep groupBy/join exchanges
+    # otherwise fan out to the session's global shuffle_partitions,
+    # which for a small graph is pure task-scheduling overhead repeated
+    # every superstep (map-side partial aggregation is unaffected —
+    # this only sizes the post-combine exchanges). Restored on exit.
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
     try:
         ranks, steps = runner.run(
             init,
@@ -280,6 +293,7 @@ def pagerank(
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
     if metrics_sink is not None:
         metrics_sink.extend(runner.history)
     verts.unpersist()

@@ -23,7 +23,11 @@ from __future__ import annotations
 def auto_blocks(
     n_rows: int, default_parallelism: int, rows_per_block: int = 20_000
 ) -> int:
-    """ceil(n_rows / rows_per_block) clamped to [2, default_parallelism].
+    """ceil(n_rows / rows_per_block) clamped to [2, default_parallelism]
+    (lower bound drops to default_parallelism when that is below 2, so a
+    local[1] session never gets MORE blocks than cores — over-splitting a
+    single core would distort scaling baselines in the flattering
+    direction).
 
     The default rows_per_block=20k is measured on this box: a 159k-edge
     PageRank is fastest near p=8, a 2.1k-vertex PPR near p=2, and a
@@ -31,4 +35,5 @@ def auto_blocks(
     the clamp binds for any real table, so the knob only ever REDUCES
     parallelism for small inputs — it cannot starve a big job.
     """
-    return max(2, min(default_parallelism, -(-n_rows // rows_per_block)))
+    lo = min(2, default_parallelism)
+    return max(lo, min(default_parallelism, -(-n_rows // rows_per_block)))
