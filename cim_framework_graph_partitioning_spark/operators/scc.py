@@ -65,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.barrier import PlanBarrier
+from ..plans.scale import auto_blocks
 
 
 def strongly_connected_components(
@@ -81,8 +82,6 @@ def strongly_connected_components(
     scc_id = min id in the vertex's strongly connected component.
     Self-loops don't affect the decomposition (a self-loop-only vertex
     is its own singleton SCC)."""
-    barrier = PlanBarrier(spark, tag="scc")
-
     # vertex set from the UNFILTERED edges (self-loop-only vertices
     # must still appear, as singletons); the working edge table drops
     # self-loops (they never change strong connectivity).
@@ -97,14 +96,51 @@ def strongly_connected_components(
         .unionByName(edges.select(F.col("dst_id").alias("id")))
         .distinct()
     )
-    n_verts = verts.count()
-    p = num_blocks or max(
-        2,
-        min(spark.sparkContext.defaultParallelism, -(-n_verts // rows_per_block)),
+    p = num_blocks or auto_blocks(
+        verts.count(),
+        spark.sparkContext.defaultParallelism,
+        rows_per_block=rows_per_block,
     )
     remaining = verts.repartition(p, "id").localCheckpoint(eager=True)
-    result: DataFrame | None = None
 
+    # loop-scoped: AQE off (per-iteration driver replanning, measured
+    # 2.3x/step on the pagerank loop) and shuffle partitions = p (the
+    # fixpoint joins otherwise exchange at the session-global count —
+    # pure task overhead for a small remainder graph). Restored on exit.
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        result = _scc_rounds(
+            spark, e_all, remaining, max_rounds, max_iter, p, salt, fuse_steps
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
+
+    e_all.unpersist()
+    if result is None:
+        return spark.createDataFrame([], "id long, scc_id long")
+    # relabel: scc_id = min member id (algorithm-independent contract)
+    relabel = result.groupBy("color").agg(F.min("id").alias("scc_id"))
+    return result.join(relabel, "color").select("id", "scc_id")
+
+
+def _scc_rounds(
+    spark: SparkSession,
+    e_all: DataFrame,
+    remaining: DataFrame,
+    max_rounds: int,
+    max_iter: int,
+    p: int,
+    salt: int,
+    fuse_steps: int,
+) -> DataFrame | None:
+    """The peel loop of strongly_connected_components (split out so the
+    caller can scope loop-wide session conf around it)."""
+    barrier = PlanBarrier(spark, tag="scc")
+    result: DataFrame | None = None
     rounds = 0
     while remaining.limit(1).count() > 0:
         rounds += 1
@@ -233,9 +269,4 @@ def strongly_connected_components(
         )
         er.unpersist()
 
-    e_all.unpersist()
-    if result is None:
-        return spark.createDataFrame([], "id long, scc_id long")
-    # relabel: scc_id = min member id (algorithm-independent contract)
-    relabel = result.groupBy("color").agg(F.min("id").alias("scc_id"))
-    return result.join(relabel, "color").select("id", "scc_id")
+    return result
