@@ -133,34 +133,48 @@ def hits(
             .localCheckpoint(eager=True)  # job 2: raw state for 2 aggs
         )
 
-        # job 3: both L2 norms in one pass
-        nrow = raw.agg(
-            F.sum(F.col("a_raw") * F.col("a_raw")).alias("na2"),
-            F.sum(F.col("t_raw") * F.col("t_raw")).alias("nt2"),
+        # both L2 norms ride a 1-row BROADCAST AGG over the checkpointed
+        # raw state — in-plan, so there is no per-step norm collect and
+        # no per-step createDataFrame driver RPC (F.sqrt and the python
+        # math.sqrt it replaces are both IEEE correctly-rounded, so
+        # scores are bit-identical). Degenerate norms (edgeless after
+        # filtering) score to exact zeros via the when-guards.
+        norm_df = F.broadcast(
+            raw.agg(
+                F.sqrt(
+                    F.coalesce(F.sum(F.col("a_raw") * F.col("a_raw")), F.lit(0.0))
+                ).alias("na"),
+                F.sqrt(
+                    F.coalesce(F.sum(F.col("t_raw") * F.col("t_raw")), F.lit(0.0))
+                ).alias("nt"),
+            )
+        )
+        scored = raw.crossJoin(norm_df).select(
+            "id",
+            F.when(F.col("nt") != 0.0, F.col("t_raw") / F.col("nt"))
+            .otherwise(F.lit(0.0)).alias("hub"),
+            F.when(F.col("na") != 0.0, F.col("a_raw") / F.col("na"))
+            .otherwise(F.lit(0.0)).alias("auth"),
+            "prev_hub",
+            "prev_auth",
+            "na",
+            "nt",
+        )
+        # job 3: L-inf deltas + the norms, one collect per superstep
+        drow = scored.agg(
+            F.max(F.abs(F.col("hub") - F.col("prev_hub"))).alias("dh"),
+            F.max(F.abs(F.col("auth") - F.col("prev_auth"))).alias("da"),
+            F.min("na").alias("na"),
+            F.min("nt").alias("nt"),
         ).collect()[0]
-        na = math.sqrt(float(nrow.na2 or 0.0))
-        nt = math.sqrt(float(nrow.nt2 or 0.0))
+        na, nt = float(drow.na or 0.0), float(drow.nt or 0.0)
         if na == 0.0 or nt == 0.0:
-            # degenerate (edgeless after filtering): converge to zeros
+            # degenerate: zero scores ARE the fixpoint — converge now
+            # (same contract as the former driver-side branch)
             zero = raw.select(
                 "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
             )
             return zero, {"max_delta": 0.0, "na": na, "nt": nt}
-
-        # norms ride a 1-row broadcast, keeping codegen cache-stable
-        norm_df = spark.createDataFrame([(na, nt)], "na double, nt double")
-        scored = raw.crossJoin(F.broadcast(norm_df)).select(
-            "id",
-            (F.col("t_raw") / F.col("nt")).alias("hub"),
-            (F.col("a_raw") / F.col("na")).alias("auth"),
-            "prev_hub",
-            "prev_auth",
-        )
-        # job 4: L-inf deltas of the normalized vectors
-        drow = scored.agg(
-            F.max(F.abs(F.col("hub") - F.col("prev_hub"))).alias("dh"),
-            F.max(F.abs(F.col("auth") - F.col("prev_auth"))).alias("da"),
-        ).collect()[0]
         new_state = scored.select("id", "hub", "auth")
         return new_state, {
             "max_delta": max(float(drow.dh), float(drow.da)),
@@ -172,8 +186,11 @@ def hits(
         spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
         checkpoint_every=checkpoint_every,
     )
+    # loop-scoped conf, restored on exit (same pattern as pagerank)
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
     try:
         scores, steps = runner.run(
             init,
@@ -185,6 +202,7 @@ def hits(
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
     if metrics_sink is not None:
         metrics_sink.extend(runner.history)
     verts.unpersist()
