@@ -54,30 +54,41 @@ def topological_levels(
     b_verts = PlanBarrier(spark, tag="topo_verts")
     b_edges = PlanBarrier(spark, tag="topo_edges")
     b_result = PlanBarrier(spark, tag="topo_result")
-    while n_left > 0 and level < max_iter:
-        has_in = remaining_edges.select(F.col("dst_id").alias("id")).distinct()
-        frontier = remaining.join(has_in, "id", "left_anti").persist()
-        n_front = frontier.count()
-        if n_front == 0:
-            raise ValueError(f"cycle detected: {n_left} vertices unpeelable")
-        # accumulate levels through the barrier (materialized each round)
-        # so no later union re-reads a released intermediate state.
-        level_df = frontier.select("id", F.lit(level).alias("level"))
-        result = b_result.cut(
-            level_df if result is None else result.unionByName(level_df)
-        )
-        new_remaining = b_verts.cut(remaining.join(frontier, "id", "left_anti"))
-        new_edges = b_edges.cut(
-            remaining_edges.join(
-                frontier.select(F.col("id").alias("src_id")), "src_id", "left_anti"
+    # loop-scoped shuffle pin, restored on exit. AQE is deliberately
+    # LEFT ALONE here: with adaptive execution disabled, this loop's
+    # accumulate-union-of-checkpoints pattern trips a reproducible
+    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in PlanBarrier's release path
+    # (test_topological_levels fails deterministically); the peel runs
+    # one round per DAG level, so per-round replanning is cheap anyway.
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        while n_left > 0 and level < max_iter:
+            has_in = remaining_edges.select(F.col("dst_id").alias("id")).distinct()
+            frontier = remaining.join(has_in, "id", "left_anti").persist()
+            n_front = frontier.count()
+            if n_front == 0:
+                raise ValueError(f"cycle detected: {n_left} vertices unpeelable")
+            # accumulate levels through the barrier (materialized each
+            # round) so no later union re-reads a released state.
+            level_df = frontier.select("id", F.lit(level).alias("level"))
+            result = b_result.cut(
+                level_df if result is None else result.unionByName(level_df)
             )
-        )
-        remaining.unpersist()
-        remaining_edges.unpersist()
-        frontier.unpersist()
-        remaining, remaining_edges = new_remaining, new_edges
-        n_left -= n_front
-        level += 1
+            new_remaining = b_verts.cut(remaining.join(frontier, "id", "left_anti"))
+            new_edges = b_edges.cut(
+                remaining_edges.join(
+                    frontier.select(F.col("id").alias("src_id")), "src_id", "left_anti"
+                )
+            )
+            remaining.unpersist()
+            remaining_edges.unpersist()
+            frontier.unpersist()
+            remaining, remaining_edges = new_remaining, new_edges
+            n_left -= n_front
+            level += 1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
     if result is None:  # empty edge table → no vertices, no levels
         return spark.createDataFrame([], "id long, level int")
     return result.repartition(p, "id")
@@ -103,30 +114,43 @@ def longest_path_lengths(
         .localCheckpoint(eager=True)
     )
     e = edges.select("src_id", "dst_id").distinct().repartition(p, "src_id").persist()
-    for _ in range(max_iter):
-        cand = (
-            dist.join(e, dist.id == e.src_id)
-            .groupBy(F.col("dst_id").alias("id"))
-            .agg((F.max("dist") + 1).alias("cand"))
-        )
-        new_dist = (
-            dist.join(cand, "id", "left")
-            .select(
-                "id",
-                F.greatest(F.col("dist"), F.coalesce(F.col("cand"), F.col("dist"))).alias("dist"),
+    # loop-scoped shuffle pin, restored on exit. AQE is deliberately
+    # LEFT ALONE here: with adaptive execution disabled, this loop's
+    # accumulate-union-of-checkpoints pattern trips a reproducible
+    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in PlanBarrier's release path
+    # (test_topological_levels fails deterministically); the peel runs
+    # one round per DAG level, so per-round replanning is cheap anyway.
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        for _ in range(max_iter):
+            cand = (
+                dist.join(e, dist.id == e.src_id)
+                .groupBy(F.col("dst_id").alias("id"))
+                .agg((F.max("dist") + 1).alias("cand"))
             )
-            .persist()
-        )
-        changed = (
-            new_dist.join(dist.select("id", F.col("dist").alias("prev")), "id")
-            .filter(F.col("dist") != F.col("prev"))
-            .count()
-        )
-        trunc = barrier.cut(new_dist)
-        new_dist.unpersist()
-        dist = trunc
-        if changed == 0:
-            break
+            new_dist = (
+                dist.join(cand, "id", "left")
+                .select(
+                    "id",
+                    F.greatest(
+                        F.col("dist"), F.coalesce(F.col("cand"), F.col("dist"))
+                    ).alias("dist"),
+                )
+                .persist()
+            )
+            changed = (
+                new_dist.join(dist.select("id", F.col("dist").alias("prev")), "id")
+                .filter(F.col("dist") != F.col("prev"))
+                .count()
+            )
+            trunc = barrier.cut(new_dist)
+            new_dist.unpersist()
+            dist = trunc
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
     e.unpersist()
     return dist
 

@@ -144,7 +144,9 @@ def coreness(
         checkpoint_every=checkpoint_every,
     )
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
     try:
         cores, steps = runner.run(
             init,
@@ -156,6 +158,7 @@ def coreness(
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
     if metrics_sink is not None:
         metrics_sink.extend(runner.history)
     und.unpersist()

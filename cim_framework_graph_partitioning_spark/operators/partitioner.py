@@ -207,7 +207,9 @@ def balanced_partition(
                 "moves": 0, "objective_mode": objective_mode}]
 
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
     try:
         for rnd in range(1, max_rounds + 1):
             a = best
@@ -360,6 +362,7 @@ def balanced_partition(
             )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
 
     # drift check: incremental bookkeeping must match a full recompute
     final_obj, final_cut, final_ssq = exact_objective(

@@ -127,7 +127,9 @@ def shortest_paths(
         checkpoint_every=checkpoint_every,
     )
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
     try:
         out, steps = runner.run(
             init,
@@ -139,6 +141,7 @@ def shortest_paths(
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
     if metrics_sink is not None:
         metrics_sink.extend(runner.history)
     e.unpersist()
