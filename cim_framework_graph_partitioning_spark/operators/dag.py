@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.barrier import PlanBarrier
+from ..plans.barrier import PlanBarrier, release_checkpoint
 from ..plans.scale import auto_blocks
 
 
@@ -54,18 +54,23 @@ def topological_levels(
     b_verts = PlanBarrier(spark, tag="topo_verts")
     b_edges = PlanBarrier(spark, tag="topo_edges")
     b_result = PlanBarrier(spark, tag="topo_result")
-    # loop-scoped shuffle pin, restored on exit. AQE is deliberately
-    # LEFT ALONE here: with adaptive execution disabled, this loop's
-    # accumulate-union-of-checkpoints pattern trips a reproducible
-    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in PlanBarrier's release path
-    # (test_topological_levels fails deterministically); the peel runs
-    # one round per DAG level, so per-round replanning is cheap anyway.
+    # loop-scoped shuffle pin, restored on exit
     shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(p))
     try:
         while n_left > 0 and level < max_iter:
             has_in = remaining_edges.select(F.col("dst_id").alias("id")).distinct()
-            frontier = remaining.join(has_in, "id", "left_anti").persist()
+            # frontier is CHECKPOINTED (lineage cut), not merely cached:
+            # the three cuts below each reference it, and b_verts's cut
+            # releases the old `remaining` BEFORE b_edges's cut runs —
+            # if frontier still carried lineage to that released
+            # checkpoint, a cache bypass (reproduced with AQE off)
+            # recomputes through it and dies with
+            # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. A lineage-free frontier
+            # makes the release order irrelevant under any session conf.
+            frontier = remaining.join(has_in, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
             n_front = frontier.count()
             if n_front == 0:
                 raise ValueError(f"cycle detected: {n_left} vertices unpeelable")
@@ -83,7 +88,7 @@ def topological_levels(
             )
             remaining.unpersist()
             remaining_edges.unpersist()
-            frontier.unpersist()
+            release_checkpoint(frontier)
             remaining, remaining_edges = new_remaining, new_edges
             n_left -= n_front
             level += 1

@@ -91,3 +91,28 @@ def test_contracted_graph_bound_enforced(spark):
         "id AS src_id", "id + 1 AS dst_id", "1.0 AS weight"
     )
     assert critical_path(spark, small, max_vertices=500) == [0, 1, 2, 3, 4, 5]
+
+
+def test_topological_levels_aqe_off(spark):
+    """Regression: with adaptive execution disabled, the peel's frontier
+    used to carry lineage to a checkpoint another barrier had already
+    released — any cache bypass then recomputed through the released
+    RDD and died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The frontier is
+    now lineage-free (its own checkpoint), so the peel must be correct
+    under any session conf."""
+    from cim_framework_graph_partitioning_spark.operators.dag import (
+        topological_levels,
+    )
+
+    was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pairs = [(i, i + 1) for i in range(6)] + [(10, 11), (11, 12)]
+        e = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in pairs],
+            "src_id long, dst_id long, weight double",
+        )
+        lv = {r.id: r.level for r in topological_levels(spark, e).collect()}
+        assert lv == {i: i for i in range(7)} | {10: 0, 11: 1, 12: 2}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", was)
