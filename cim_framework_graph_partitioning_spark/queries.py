@@ -119,13 +119,16 @@ def q_pagerank_3steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_sql(steps: int) -> str:
+    # edges/norm MATERIALIZED: referenced once per unrolled step
+    # (DuckDB inlines CTEs by default → the lineitem aggregation would
+    # re-execute per step).
     pre = f"""
-WITH edges AS ({_SQL_EDGES}),
-verts AS (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges
+WITH edges AS MATERIALIZED ({_SQL_EDGES}),
+verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges
                                    UNION ALL SELECT dst_id FROM edges)),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts),
 outw AS (SELECT src_id, sum(weight) AS wo FROM edges GROUP BY 1),
-norm AS (SELECT src_id, dst_id, weight / wo AS frac
+norm AS MATERIALIZED (SELECT src_id, dst_id, weight / wo AS frac
          FROM edges JOIN outw USING (src_id)),
 r0 AS (SELECT id, 1.0 / (SELECT c FROM nn) AS rank FROM verts)"""
     body = ""
@@ -219,9 +222,12 @@ _SQL_CO_SUPPLIER = """
 
 
 def _cc_sql(steps: int) -> str:
+    # e0/und MATERIALIZED: DuckDB inlines CTEs by default, and und is
+    # referenced once per unrolled step — without the hint the
+    # lineitem self-join re-executes ``steps`` times (~13s → ~2s).
     pre = f"""
-WITH e0 AS ({_SQL_CO_SUPPLIER}),
-und AS (SELECT src_id, dst_id FROM e0
+WITH e0 AS MATERIALIZED ({_SQL_CO_SUPPLIER}),
+und AS MATERIALIZED (SELECT src_id, dst_id FROM e0
         UNION SELECT dst_id, src_id FROM e0),
 verts AS (SELECT DISTINCT src_id AS id FROM und),
 l0 AS (SELECT id, id AS component FROM verts)"""
@@ -1255,17 +1261,20 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_balanced_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-way balanced partition of the co-supplier graph, 10 hill-climb
+    """k-way balanced partition of the co-supplier graph, 5 hill-climb
     rounds — previously the last rows-only driver query, now fully
     oracled: with a ``pmod(id, k)`` init (the engine default stays
     seeded xxhash64 — ``init_part`` docstring) every downstream step of
     the hill-climb is deterministic, integral-weight IEEE arithmetic,
     so ``_balanced_partition_sql`` replays the ENTIRE algorithm —
     candidate gains, priority-coloring independent set, sequential
-    move-acceptance fold — bit-exactly in DuckDB."""
+    move-acceptance fold — bit-exactly in DuckDB. 5 rounds (was 10)
+    halves both the Spark loop and the recursive-CTE replay at the
+    sf0.01 gate; every algorithmic phase already occurs by round 5,
+    and long-run convergence is pytest territory."""
     e = co_supplier_edges(spark, sf_dir)
     assignment, _ = balanced_partition(
-        spark, e, k=4, max_rounds=10,
+        spark, e, k=4, max_rounds=5,
         init_part=F.pmod(F.col("id"), F.lit(4)),
     )
     return assignment.orderBy("id")
@@ -1294,12 +1303,24 @@ def q_chain_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (filtering the full edge table on src_id would orphan other
     # customers' order→order tails — the component filter must happen
     # before edges are formed).
+    # each chain is additionally capped at the customer's FIRST 8
+    # orders (rn <= 8 before forming edges): the peel runs one
+    # distributed longest-path pass per chain, each pass one Spark job
+    # per LEVEL, so uncapped 25-order chains cost ~3x the gate wall.
+    # Branching/long-chain behavior stays pytest territory.
     o = _read(spark, sf_dir, "orders").filter(F.pmod(F.col("o_custkey"), F.lit(300)) == 1)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    r = o.select(
-        "o_custkey", "o_orderkey",
-        F.row_number().over(w).alias("rn"),
-        F.lead("o_orderkey").over(w).alias("next_key"),
+    r = (
+        o.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 8)
+        .select(
+            "o_custkey", "o_orderkey", "rn",
+            F.lead("o_orderkey").over(
+                Window.partitionBy("o_custkey").orderBy("rn")
+            ).alias("next_key"),
+        )
     )
     first = r.filter(F.col("rn") == 1).select(
         F.col("o_custkey").alias("src_id"),
@@ -1322,12 +1343,15 @@ def q_chain_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_CHAINS = f"""
-WITH r AS MATERIALIZED (
+WITH r0 AS (
   SELECT o_custkey, o_orderkey,
          row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_orderdate, o_orderkey) AS rn,
-         count(*) OVER (PARTITION BY o_custkey) AS n_orders
+                            ORDER BY o_orderdate, o_orderkey) AS rn
   FROM orders WHERE o_custkey % 300 = 1),
+r AS MATERIALIZED (
+  SELECT o_custkey, o_orderkey, rn,
+         count(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM r0 WHERE rn <= 8),
 ends AS (SELECT o_custkey, o_orderkey + {ORDER_OFFSET} AS end_id
          FROM r WHERE rn = n_orders),
 ranked AS (
@@ -1496,6 +1520,24 @@ _SQL_CO_PART = """
   GROUP BY 1, 2
 """
 
+# co-part graph sliced to orders ≡ 0 (mod 3) — co_part_edges(order_mod=3).
+# Used by the gate queries whose oracle cost is quadratic-ish in edge
+# volume (k-core unroll, clustering triangle join, Adamic-Adar wedge
+# join, walk replays); each surviving order still contributes its
+# complete clique, so local structure is intact. SSSP stays on the FULL
+# graph: its oracle's unroll bound is a diameter bound, and slicing
+# makes the graph SPARSER (longer shortest paths), which could silently
+# outgrow the bound.
+_SQL_CO_PART_GATE = """
+  SELECT a.l_partkey AS src_id, b.l_partkey AS dst_id
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 3 = 0) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 3 = 0) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+"""
+
 
 def q_hits_3steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three exact weighted-HITS supersteps on the supplier→part graph
@@ -1617,7 +1659,11 @@ def q_kcore_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/kcore.py). 19 supersteps to fixpoint at sf0.01; the
     oracle unrolls 24 — over-unrolling a fixpoint is the identity, and
     every value is integral, so the replay is bit-exact by
-    construction."""
+    construction. Stays on the FULL co-part graph (unlike the
+    clustering/walk gate queries' order_mod=3 slice): the h-index
+    fixpoint converges in step count ~ the peeling depth, and the
+    SPARSER sliced graph measured 53 supersteps vs 19 — slicing made
+    this query slower on both engines."""
     e = co_part_edges(spark, sf_dir)
     cores, _ = coreness(spark, e)
     return cores.orderBy("id")
@@ -1650,7 +1696,7 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient on the co-part graph
     (operators/triangles.py local_clustering_coefficient — reuses the
     degree-oriented triangle enumeration)."""
-    e = co_part_edges(spark, sf_dir)
+    e = co_part_edges(spark, sf_dir, order_mod=3)
     return (
         local_clustering_coefficient(e)
         .select(
@@ -1661,7 +1707,7 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_CLUSTERING = f"""
-WITH e0 AS MATERIALIZED ({_SQL_CO_PART}),
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
 und AS MATERIALIZED (SELECT src_id, dst_id FROM e0
         UNION SELECT dst_id, src_id FROM e0),
 deg AS (SELECT src_id AS id, CAST(count(*) AS BIGINT) AS degree
@@ -1684,21 +1730,31 @@ def q_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier ids on the supplier→part graph: teleport AND dangling mass
     land uniformly on the seed set (pagerank(sources=...)). Unlike the
     uniform-teleport case (2 supersteps — the bipartite graph mixes in
-    one bounce), the seeded chain genuinely contracts at rate d=0.85,
-    so convergence takes 79 supersteps; the oracle unrolls 84 with the
-    dynamic stop (first step with L-inf delta < tol — self-policing:
-    an unconverged unroll mismatches loudly)."""
+    one bounce), the seeded chain genuinely contracts at rate d, so
+    the gate runs damping=0.5 (exactly representable; ~19 supersteps
+    to 1e-6 — d=0.85's 79 supersteps cost ~4x the Spark jobs AND an
+    84-step DuckDB unroll for no extra semantic coverage); the oracle
+    unrolls 24 with the dynamic stop (first step with L-inf delta <
+    tol — self-policing: an unconverged unroll mismatches loudly)."""
     e = supplier_part_edges(spark, sf_dir)
     seeds = e.select(F.col("src_id").alias("id")).distinct().orderBy("id").limit(3)
-    ranks, _ = pagerank(spark, e, sources=seeds, tol=1e-6, max_iter=100)
+    ranks, _ = pagerank(spark, e, sources=seeds, damping=0.5, tol=1e-6,
+                        max_iter=100)
     return ranks.select("id", F.round("rank", 10).alias("rank")).orderBy("id")
 
 
 def _ppr_dynamic_sql(edges_sql: str, max_steps: int, n_seeds: int,
-                     tol: str = "1e-6") -> str:
+                     tol: str = "1e-6", damping: float = 0.85) -> str:
     """Dynamic-stop unroll of PERSONALIZED PageRank (same scaffold as
     _pagerank_dynamic_sql; r0 uniform over the seed set, teleport and
-    dangling terms divide by |S| and land only on members)."""
+    dangling terms divide by |S| and land only on members).
+
+    ``damping`` literals are emitted with an e0 suffix (DuckDB parses
+    bare decimals as DECIMAL, not DOUBLE) and (1-d) is computed in
+    PYTHON floats exactly as the engine's ``F.lit(1.0 - damping)``
+    does, so the replay stays IEEE-identical for any d."""
+    d_lit = f"{damping!r}e0"
+    omd_lit = f"{1.0 - damping!r}e0"
     pre = f"""
 WITH edges AS MATERIALIZED ({edges_sql}),
 verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges
@@ -1721,10 +1777,10 @@ s{i} AS (SELECT dst_id, sum(r{p}.rank * frac) AS s
         FROM norm JOIN r{p} ON r{p}.id = norm.src_id GROUP BY 1),
 r{i} AS MATERIALIZED (SELECT v.id,
                CASE WHEN sd.id IS NOT NULL
-                    THEN 0.15 / (SELECT c FROM ns)
-                         + 0.85 * (SELECT dm FROM d{i}) / (SELECT c FROM ns)
+                    THEN {omd_lit} / (SELECT c FROM ns)
+                         + {d_lit} * (SELECT dm FROM d{i}) / (SELECT c FROM ns)
                     ELSE 0.0 END
-               + 0.85 * coalesce(s.s, 0) AS rank
+               + {d_lit} * coalesce(s.s, 0) AS rank
         FROM verts v LEFT JOIN s{i} s ON v.id = s.dst_id
         LEFT JOIN seeds sd ON v.id = sd.id),
 dl{i} AS (SELECT max(abs(a.rank - b.rank)) AS d
@@ -1798,7 +1854,7 @@ def q_adamic_adar_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap is the 100-TB scale knob — operators/linkpred.py). Rounding
     to 9 decimals absorbs sum-order ulp noise; ties broken by
     (src, dst) so the LIMIT boundary is deterministic on both sides."""
-    e = co_part_edges(spark, sf_dir)
+    e = co_part_edges(spark, sf_dir, order_mod=3)
     return (
         adamic_adar_pairs(e, max_degree=120)
         .select(
@@ -1811,7 +1867,7 @@ def q_adamic_adar_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_ADAMIC_ADAR = f"""
-WITH e0 AS MATERIALIZED ({_SQL_CO_PART}),
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
 und AS MATERIALIZED (SELECT src_id, dst_id FROM e0
         UNION SELECT dst_id, src_id FROM e0),
 deg AS (SELECT src_id AS z, CAST(count(*) AS BIGINT) AS deg
@@ -1837,28 +1893,36 @@ def q_scc_order_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (operators/scc.py — distributed
     coloring: forward max-id fixpoint + backward same-color
     containment, peel, repeat) on the order-cycle graph: per customer
-    the orders form a RING (SCC of size 1..25) and the customer vertex
-    is a singleton entry point. The oracle is CLOSED-FORM — each
-    ring's scc_id is its customer's min order id — so the driver check
-    validates the whole decomposition without a transitive closure.
-    The algorithmic correctness on arbitrary digraphs is pytest
-    territory (iterative-Tarjan oracle, tests/test_scc.py)."""
-    e = order_cycle_edges(spark, sf_dir)
+    the orders form RINGS of at most 8 (ring_cap=8 — bounds the
+    coloring fixpoint's propagation distance, i.e. the peel's
+    Spark-job count at sf0.01; see order_cycle_edges) and the customer
+    vertex is a singleton entry point. The oracle is CLOSED-FORM —
+    each ring's scc_id is the min order id in its 8-chunk — so the
+    driver check validates the whole decomposition without a
+    transitive closure. The algorithmic correctness on arbitrary
+    digraphs is pytest territory (iterative-Tarjan oracle,
+    tests/test_scc.py)."""
+    e = order_cycle_edges(spark, sf_dir, ring_cap=8)
     sccs = strongly_connected_components(spark, e)
     return sccs.orderBy("id")
 
 
 _ORACLE_SCC = f"""
-WITH m AS (SELECT o_custkey, min(o_orderkey) AS mo
-           FROM orders GROUP BY 1)
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         (row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) - 1) // 8 AS grp
+  FROM orders),
+m AS (SELECT o_custkey, grp, min(o_orderkey) AS mo
+      FROM r GROUP BY 1, 2)
 SELECT id, scc_id FROM (
-  SELECT CAST(o_custkey AS BIGINT) AS id,
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS id,
          CAST(o_custkey AS BIGINT) AS scc_id
-  FROM m
+  FROM orders
   UNION ALL
-  SELECT CAST(o.o_orderkey + {ORDER_OFFSET} AS BIGINT) AS id,
+  SELECT CAST(r.o_orderkey + {ORDER_OFFSET} AS BIGINT) AS id,
          CAST(m.mo + {ORDER_OFFSET} AS BIGINT) AS scc_id
-  FROM orders o JOIN m USING (o_custkey))
+  FROM r JOIN m USING (o_custkey, grp))
 ORDER BY id
 """
 
@@ -1869,9 +1933,11 @@ def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_graph_contraction) — the standard way to make ANY digraph
     schedulable by the DAG operators (topological sort, longest path,
     chain decomposition). On the ring forest the condensation is
-    closed-form: one edge per customer, custkey → its ring's scc_id,
-    weight = 1 (the entry edge; intra-ring edges all collapse)."""
-    e = order_cycle_edges(spark, sf_dir)
+    closed-form: one edge per customer, custkey → its FIRST ring's
+    scc_id, weight = 1 (the entry edge; intra-ring edges collapse and
+    later rings are isolated vertices with no condensation edges —
+    ring_cap=8 bounds the SCC fixpoint, see order_cycle_edges)."""
+    e = order_cycle_edges(spark, sf_dir, ring_cap=8)
     sccs = strongly_connected_components(spark, e)
     src_l = sccs.select(
         F.col("id").alias("src_id"), F.col("scc_id").alias("src_scc")
@@ -1890,8 +1956,13 @@ def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_CONDENSATION = f"""
-WITH m AS (SELECT o_custkey, min(o_orderkey) AS mo
-           FROM orders GROUP BY 1)
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders),
+m AS (SELECT o_custkey, min(o_orderkey) AS mo
+      FROM r WHERE rn <= 8 GROUP BY 1)
 SELECT CAST(o_custkey AS BIGINT) AS src_scc,
        CAST(mo + {ORDER_OFFSET} AS BIGINT) AS dst_scc,
        CAST(1 AS DOUBLE) AS weight
@@ -1908,15 +1979,19 @@ def q_scc_dag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mod 300) (~5 components at sf0.01 — chain_decomposition is a
     contracted-graph operator, one driver round per emitted chain).
 
-    Closed form on the ring forest: each component condenses to the
-    2-vertex path custkey → ring-scc (scc_id = customer's min order id
+    Closed form on the ring forest (ring_cap=8 — see
+    order_cycle_edges; rings past the first are isolated vertices with
+    no condensation edges, so they drop out of the edge-defined DAG):
+    each component condenses to the 2-vertex path custkey → first-ring
+    scc (scc_id = min order id among the customer's first 8 orders
     + ORDER_OFFSET), so levels are 0/1, every chain is that 2-path, and
     the greedy peel's (length desc, end-id asc) tie-break emits chains
-    in ascending ring-scc id. scc_size = the customer's order count.
+    in ascending ring-scc id. scc_size = least(8, order count).
     Output: (chain_id, pos, scc_id, level, scc_size)."""
     from .operators.dag import chain_decomposition, topological_levels
 
-    e = order_cycle_edges(spark, sf_dir, custkey_mod=300, custkey_rem=1)
+    e = order_cycle_edges(spark, sf_dir, custkey_mod=300, custkey_rem=1,
+                          ring_cap=8)
     sccs = strongly_connected_components(spark, e)
     src_l = sccs.select(F.col("id").alias("src_id"), F.col("scc_id").alias("src_scc"))
     dst_l = sccs.select(F.col("id").alias("dst_id"), F.col("scc_id").alias("dst_scc"))
@@ -1956,9 +2031,14 @@ def q_scc_dag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_SCC_DAG_PIPELINE = f"""
-WITH sel AS (
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey % 300 = 1),
+sel AS (
   SELECT o_custkey, min(o_orderkey) AS mo, count(*) AS n_orders
-  FROM orders WHERE o_custkey % 300 = 1 GROUP BY 1),
+  FROM r WHERE rn <= 8 GROUP BY 1),
 ranked AS (
   SELECT o_custkey, mo, n_orders,
          row_number() OVER (ORDER BY mo ASC) - 1 AS chain_id
@@ -1982,7 +2062,7 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex, hash-seeded (md5 family here so DuckDB replays the
     neighbor selection bit-exactly; engine default stays xxhash64 —
     the same hash-family parameterization as minhash)."""
-    e0 = co_part_edges(spark, sf_dir).select("src_id", "dst_id")
+    e0 = co_part_edges(spark, sf_dir, order_mod=3).select("src_id", "dst_id")
     und = e0.unionByName(
         e0.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
     ).withColumn("weight", F.lit(1.0))
@@ -1998,7 +2078,7 @@ def _walks_sql(walk_length: int, num_walks: int, seed: int) -> str:
     byte-identical to Spark's
     conv(substring(md5(concat_ws(':', ...)), 1, 15), 16, 10)."""
     pre = f"""
-WITH e0 AS MATERIALIZED ({_SQL_CO_PART}),
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
 und AS (SELECT src_id, dst_id FROM e0
         UNION SELECT dst_id, src_id FROM e0),
 adj AS MATERIALIZED (
@@ -2038,7 +2118,7 @@ def q_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     node2vec p=4, q=2 scaled by 4 — so all three weight classes occur
     and every cumulative-mass selection is exact integer arithmetic the
     DuckDB unroll replays bit-for-bit (md5 family)."""
-    e0 = co_part_edges(spark, sf_dir).select("src_id", "dst_id")
+    e0 = co_part_edges(spark, sf_dir, order_mod=3).select("src_id", "dst_id")
     und = e0.unionByName(
         e0.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
     ).withColumn("weight", F.lit(1.0))
@@ -2058,7 +2138,7 @@ def _biased_walks_sql(walk_length: int, num_walks: int, seed: int,
     keeps the row whose [cum - wgt, cum) interval contains
     hash % tot — all-integer arithmetic, so bit-exact vs Spark."""
     pre = f"""
-WITH e0 AS MATERIALIZED ({_SQL_CO_PART}),
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
 und AS (SELECT src_id, dst_id FROM e0
         UNION SELECT dst_id, src_id FROM e0),
 adj AS MATERIALIZED (
@@ -2133,7 +2213,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hits_converged": (q_hits_converged, _hits_dynamic_sql(8)),
     "kcore_coreness": (q_kcore_coreness, _kcore_sql(24)),
     "clustering_coeff": (q_clustering_coeff, _ORACLE_CLUSTERING),
-    "ppr_seeds": (q_ppr_seeds, _ppr_dynamic_sql(_SQL_EDGES, max_steps=84, n_seeds=3)),
+    "ppr_seeds": (q_ppr_seeds,
+                  _ppr_dynamic_sql(_SQL_EDGES, max_steps=24, n_seeds=3,
+                                   damping=0.5)),
     "sssp_parts": (q_sssp_parts, _sssp_sql(10, n_seeds=3)),
     "adamic_adar_top": (q_adamic_adar_top, _ORACLE_ADAMIC_ADAR),
     "scc_order_cycles": (q_scc_order_cycles, _ORACLE_SCC),
@@ -2175,7 +2257,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the last former rows-only entry: the full hill-climb (priority-
     # coloring independent set + sequential acceptance fold) replayed
     # bit-exactly in DuckDB via a recursive-CTE unroll
-    "balanced_partition": (q_balanced_partition, _balanced_partition_sql()),
+    "balanced_partition": (q_balanced_partition,
+                           _balanced_partition_sql(rounds=5)),
     # multimodal kernel plumbing (fake-path byte-histogram features are
     # exact hex arithmetic; real codecs are pytest bit-exact territory)
     "media_features": (q_media_features, _ORACLE_MEDIA_FEATURES),
