@@ -333,3 +333,43 @@ def dedup_keep_canonical(docs: DataFrame, dup_pairs: DataFrame,
     (connected-components-free greedy: keeps at least one per group)."""
     losers = dup_pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
+
+
+def near_dup_clusters(spark, docs: DataFrame, dup_pairs: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Group near-duplicates into CLUSTERS: connected components over the
+    verified pair graph, canonical representative = min doc id per
+    cluster. The standard keep-one-per-cluster dedup step — unlike the
+    greedy pairwise drop (``dedup_keep_canonical``), transitive chains
+    a~b, b~c land in ONE cluster even when (a, c) was never a candidate
+    pair, so "keep canonical" removes exactly cluster_size - 1 docs.
+
+    Returns (doc_id, cluster_id, cluster_size, is_canonical) for EVERY
+    doc; singletons get their own cluster of size 1.
+
+    Scale: the CC iteration runs on the pair graph only (≪ corpus — at
+    web scale near-dup pairs are a few % of docs); the corpus-sized work
+    is one left join against the labels and one groupBy on cluster_id.
+    Both shuffles are on the doc-id/cluster-id keys they aggregate by.
+    """
+    from .components import connected_components
+
+    edges = dup_pairs.select(
+        F.col("doc_a").alias("src_id"), F.col("doc_b").alias("dst_id")
+    )
+    labels, _ = connected_components(spark, edges, run_id="dedup_cc")
+    lab = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return lab.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -23,6 +23,7 @@ from .operators.components import connected_components
 from .operators.dedup import (
     exact_duplicates,
     minhash_near_duplicates,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )
@@ -953,8 +954,7 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~2^-64 xxhash64 bucket collision, which exact-jaccard verification
 # would have to also pass to differ). Every CTE is MATERIALIZED (DuckDB
 # inlines by default; the signature CTE is referenced twice).
-_ORACLE_MINHASH = r"""
-WITH toks AS MATERIALIZED (
+_MINHASH_CTES = r"""toks AS MATERIALIZED (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
   FROM documents WHERE trim(text) <> ''),
 sh AS MATERIALIZED (
@@ -982,14 +982,68 @@ inter AS MATERIALIZED (
   FROM cand c
   JOIN sh a ON a.doc_id = c.doc_a
   JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+  GROUP BY 1, 2),
+verified AS MATERIALIZED (
+  SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4)"""
+
+_ORACLE_MINHASH = f"""
+WITH {_MINHASH_CTES}
+SELECT doc_a, doc_b, jaccard FROM verified
 ORDER BY doc_a, doc_b
 """
+
+# Connected components over the verified minhash pair graph, replayed in
+# DuckDB with a recursive CTE: lab accumulates every (reachable-from,
+# label) pair over the symmetrized pair edges (UNION dedupes, so the
+# iteration reaches fixpoint = reachability closure), then min(label)
+# per doc is exactly the engine's min-id-per-component cluster_id.
+# Feasible because the pair graph is tiny relative to the corpus (the
+# same property the engine's scale note relies on).
+_ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+und AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION ALL
+  SELECT doc_b, doc_a FROM verified),
+lab(doc_id, comp) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.b, l.comp FROM lab l JOIN und u ON u.a = l.doc_id),
+cc AS MATERIALIZED (
+  SELECT doc_id, min(comp) AS cluster_id FROM lab GROUP BY 1),
+csize AS MATERIALIZED (
+  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+SELECT CAST(cc.doc_id AS BIGINT) AS doc_id,
+       CAST(cc.cluster_id AS BIGINT) AS cluster_id,
+       CAST(csize.cluster_size AS BIGINT) AS cluster_size,
+       cc.doc_id = cc.cluster_id AS is_canonical
+FROM cc JOIN csize USING (cluster_id)
+ORDER BY cluster_id, doc_id
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER formation — the keep-one-per-cluster dedup
+    step every training corpus runs after candidate generation: minhash
+    near-dup pairs (md5 family, same params as ``minhash_near_dups``) →
+    connected components over the pair graph → min-id canonical per
+    cluster (``operators/dedup.py::near_dup_clusters``). Transitive
+    chains a~b, b~c land in ONE cluster even when (a, c) was never a
+    candidate pair. Returns every clustered doc (cluster_size >= 2;
+    singletons are their own cluster and elided) with cluster id, size,
+    and canonical flag."""
+    d = _read(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, threshold=0.4, k=32, bands=16,
+                                    hash_family="md5")
+    return (
+        near_dup_clusters(spark, d, pairs)
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy("cluster_id", "doc_id")
+    )
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2250,6 +2304,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank_converged": (q_pagerank_converged,
                            _pagerank_dynamic_sql(_SQL_EDGES, max_steps=8)),
     "minhash_near_dups": (q_minhash_near_dups, _ORACLE_MINHASH),
+    "dedup_clusters": (q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS),
     "simhash_near_dups": (q_simhash_near_dups, _ORACLE_SIMHASH),
     "embedding_ivf_topk": (q_embedding_ivf_topk, _ORACLE_EMB_IVF),
     "corpus_edges": (q_corpus_edges, _ORACLE_CORPUS_EDGES),
@@ -2285,7 +2340,8 @@ _GATE_ORDER = [
     "media_frame_sample", "embedding_topk",
     # ~1-10s: one-shot graph / dedup / ANN
     "token_jaccard_pairs", "simhash_near_dups", "minhash_near_dups",
-    "embedding_near_dups", "embedding_ivf_topk", "top_depended_parts",
+    "dedup_clusters", "embedding_near_dups", "embedding_ivf_topk",
+    "top_depended_parts",
     "degree_distribution", "frontier_indegree0", "graph_contraction",
     "triangle_count", "clustering_coeff", "adamic_adar_top",
     "corpus_edges", "chain_decomposition",

@@ -18,6 +18,7 @@ from cim_framework_graph_partitioning_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
     minhash_near_duplicates,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_duplicates,
@@ -57,6 +58,25 @@ def test_exact_duplicates(spark, docs):
     kept = dedup_keep_canonical(docs, spark.createDataFrame(
         [(0, 1)], "doc_a long, doc_b long"))
     assert kept.count() == 4
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """a~b, b~c (no a~c pair) must form ONE cluster of 3 with min-id
+    canonical; docs without pairs are singletons of size 1."""
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in near_dup_clusters(spark, docs, pairs).collect()
+    }
+    assert got == {
+        0: (0, 3, True), 1: (0, 3, False), 2: (0, 3, False),
+        3: (3, 2, True), 4: (3, 2, False),
+        5: (5, 1, True),
+    }
 
 
 def test_ngram_jaccard_matches_hand_computation(spark, docs):
