@@ -1706,6 +1706,53 @@ SELECT id, round(hub, 10) AS hub, round(auth, 10) AS auth
 FROM final ORDER BY id"""
 
 
+def q_mis_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set on the co-part gate graph
+    (operators/mis.py — priority-parallel greedy, md5 hash family so
+    the priority is bit-reproducible in DuckDB). The oracle replays the
+    SEQUENTIAL greedy over the same (md5, id) priority order with a
+    recursive-CTE fold carrying the accumulated set — a different
+    algorithm whose fixpoint provably coincides (LFMIS equivalence,
+    module docstring)."""
+    from .operators.mis import maximal_independent_set
+
+    e = co_part_edges(spark, sf_dir, order_mod=3)
+    got, _ = maximal_independent_set(spark, e, seed=42, hash_family="md5")
+    return got.orderBy("id")
+
+
+_ORACLE_MIS = f"""
+WITH RECURSIVE e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
+und AS MATERIALIZED (
+  SELECT src_id AS a, dst_id AS b FROM e0
+  UNION SELECT dst_id, src_id FROM e0),
+verts AS MATERIALIZED (SELECT DISTINCT a AS id FROM und),
+prio AS MATERIALIZED (
+  SELECT id,
+         CAST(('0x' || substr(md5('42:' || CAST(id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM verts),
+ord AS MATERIALIZED (
+  SELECT id, row_number() OVER (ORDER BY h, id) AS rk FROM prio),
+nbrs AS MATERIALIZED (SELECT a AS id, list(b) AS ns FROM und GROUP BY 1),
+steps(rk, mis) AS (
+  SELECT 0, CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT o.rk,
+         CASE WHEN len(list_intersect(s.mis, coalesce(n.ns,
+                                                      CAST([] AS BIGINT[])))) = 0
+              THEN list_append(s.mis, o.id) ELSE s.mis END
+  FROM steps s
+  JOIN ord o ON o.rk = s.rk + 1
+  LEFT JOIN nbrs n ON n.id = o.id),
+final AS MATERIALIZED (
+  SELECT mis FROM steps ORDER BY rk DESC LIMIT 1)
+SELECT v.id, list_contains(f.mis, v.id) AS in_mis
+FROM verts v CROSS JOIN final f
+ORDER BY v.id
+"""
+
+
 def q_kcore_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-vertex coreness on the co-part graph (parts sharing an
     order — the sparse projection; the co-supplier one is complete at
@@ -2266,6 +2313,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hits_3steps": (q_hits_3steps, _hits_sql(3)),
     "hits_converged": (q_hits_converged, _hits_dynamic_sql(8)),
     "kcore_coreness": (q_kcore_coreness, _kcore_sql(24)),
+    "mis_greedy": (q_mis_greedy, _ORACLE_MIS),
     "clustering_coeff": (q_clustering_coeff, _ORACLE_CLUSTERING),
     "ppr_seeds": (q_ppr_seeds,
                   _ppr_dynamic_sql(_SQL_EDGES, max_steps=24, n_seeds=3,
@@ -2347,7 +2395,8 @@ _GATE_ORDER = [
     "corpus_edges", "chain_decomposition",
     # ~5-30s: shallow iterative
     "lpa_2steps", "lpa_1step", "lpa_anchored", "pagerank_converged",
-    "random_walks", "biased_walks", "sssp_parts", "balanced_partition",
+    "mis_greedy", "random_walks", "biased_walks", "sssp_parts",
+    "balanced_partition",
     # heavies: deep fixpoints / peels
     "pagerank_3steps", "hits_3steps", "hits_converged",
     "connected_components", "kcore_coreness", "ppr_seeds",
