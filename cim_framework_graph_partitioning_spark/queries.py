@@ -706,6 +706,82 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/ranking.py) for a 4-term query
+    over the documents table. The per-document score is folded over
+    term-sorted contributions on BOTH engines (F.aggregate over
+    sort_array vs sum(... ORDER BY term)) so the floating sum order is
+    pinned; the tail is a (score desc, doc_id) top-25 — a total order."""
+    from .operators.ranking import bm25_topk
+
+    d = _read(spark, sf_dir, "documents")
+    return bm25_topk(d, ["vector", "hash", "spark", "stream"], k=25)
+
+
+_ORACLE_BM25 = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+dl AS MATERIALIZED (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+stats AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('hash', 'spark', 'stream', 'vector')
+  GROUP BY 1, 2),
+dft AS MATERIALIZED (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+contrib AS MATERIALIZED (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+SELECT doc_id, round(sum(c ORDER BY term), 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 25
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language document sampling
+    (operators/sampling.py, md5 family): downsample English hard, keep
+    all Spanish — the language-rebalancing shape every multilingual
+    corpus build runs. The keep decision is a pure function of
+    (seed, doc_id), so the oracle replays it bit-exactly."""
+    from .operators.sampling import stratified_sample
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            d, "lang",
+            {"en": 0.25, "de": 0.5, "fr": 0.5, "zh": 0.75, "es": 1.0},
+            seed=7, hash_family="md5",
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_STRATIFIED = r"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2147483648 AS u
+  FROM documents)
+SELECT doc_id, lang FROM h
+WHERE u < CASE lang
+            WHEN 'en' THEN CAST(0.25 * 2147483648 AS BIGINT)
+            WHEN 'de' THEN CAST(0.5  * 2147483648 AS BIGINT)
+            WHEN 'fr' THEN CAST(0.5  * 2147483648 AS BIGINT)
+            WHEN 'zh' THEN CAST(0.75 * 2147483648 AS BIGINT)
+            WHEN 'es' THEN CAST(1.0  * 2147483648 AS BIGINT)
+            ELSE 0 END
+ORDER BY doc_id
+"""
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score per document (length band + punctuation +
     stopword ratios — the training-data quality-scoring capability)."""
@@ -2344,6 +2420,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_token_stats": (q_doc_token_stats, _ORACLE_TOKEN_STATS),
     "doc_punct_ratio": (q_doc_punct_ratio, _ORACLE_PUNCT),
     "doc_quality": (q_doc_quality, _ORACLE_DOC_QUALITY),
+    "bm25_topk": (q_bm25_topk, _ORACLE_BM25),
+    "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED),
     "exact_dedup_pairs": (q_exact_dedup_pairs, _ORACLE_EXACT_DEDUP),
     "token_jaccard_pairs": (q_token_jaccard_pairs, _ORACLE_TOKEN_JACCARD),
     "embedding_topk": (q_embedding_topk, _ORACLE_EMB_TOPK),
@@ -2384,6 +2462,7 @@ _GATE_ORDER = [
     "distinct_parts_per_supplier", "rollup_revenue",
     "setops_rich_customers", "events_hourly", "events_sessions",
     "doc_token_stats", "doc_punct_ratio", "doc_quality",
+    "bm25_topk", "stratified_sample",
     "exact_dedup_pairs", "lang_id_counts", "media_features",
     "media_frame_sample", "embedding_topk",
     # ~1-10s: one-shot graph / dedup / ANN

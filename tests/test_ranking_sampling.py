@@ -1,0 +1,95 @@
+"""BM25 ranking and deterministic sampling against pure-python replays."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cim_framework_graph_partitioning_spark.operators.ranking import (
+    bm25_oracle_rows,
+    bm25_topk,
+)
+from cim_framework_graph_partitioning_spark.operators.sampling import (
+    sample_fraction,
+    sample_oracle_keep,
+    stratified_sample,
+)
+
+DOCS = [
+    (0, "spark shuffles data across the cluster for the join"),
+    (1, "a hash join beats a sort merge join on skewed data"),
+    (2, "spark spark spark"),
+    (3, "vector search over embeddings"),
+    (4, ""),
+    (5, "the quick brown fox"),
+    (6, "hash hash vector spark"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_matches_python_replay(spark, docs):
+    q = ["spark", "hash", "vector"]
+    got = [(r.doc_id, r.score) for r in bm25_topk(docs, q, k=5).collect()]
+    assert got == bm25_oracle_rows(DOCS, q, k=5)
+    assert got[0][0] in (2, 6)  # heavy-tf docs rank first
+
+
+def test_bm25_tf_saturation(spark, docs):
+    """BM25's tf saturation: tripling tf must NOT triple the score."""
+    got = {r.doc_id: r.score for r in bm25_topk(docs, ["spark"], k=10).collect()}
+    assert got[2] < 3 * got[0]
+    assert got[2] > got[0]  # but more tf still scores higher
+
+
+def test_bm25_empty_query_rejected(spark, docs):
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
+
+
+def test_bm25_partitioning_invariant(spark, docs):
+    q = ["join", "data"]
+    a = bm25_topk(docs, q, k=10).collect()
+    b = bm25_topk(docs.repartition(5), q, k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_sample_fraction_matches_md5_replay(spark):
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    got = {r.doc_id for r in
+           sample_fraction(df, 0.3, seed=9, hash_family="md5").collect()}
+    want = {i for i in range(500) if sample_oracle_keep(9, i, 0.3)}
+    assert got == want
+    assert 0.2 < len(got) / 500 < 0.4  # rate sanity
+
+
+def test_sample_stable_under_corpus_growth(spark):
+    """A doc's fate is a pure function of (seed, id): growing the corpus
+    never flips an existing doc's decision."""
+    small = spark.range(100).select(F.col("id").alias("doc_id"))
+    big = spark.range(1000).select(F.col("id").alias("doc_id"))
+    kept_small = {r.doc_id for r in sample_fraction(small, 0.5, seed=1).collect()}
+    kept_big = {r.doc_id for r in sample_fraction(big, 0.5, seed=1).collect()}
+    assert kept_small == {i for i in kept_big if i < 100}
+
+
+def test_stratified_sample_rates_and_unknown_dropped(spark):
+    rows = [(i, ["en", "es", "xx"][i % 3]) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample(df, "lang", {"en": 1.0, "es": 0.5}, seed=3)
+    by_lang = {r["lang"]: r["n"] for r in
+               got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("en") == 300  # fraction 1.0 keeps everything
+    assert 90 < by_lang.get("es", 0) < 210
+    assert "xx" not in by_lang  # unmapped stratum dropped entirely
+
+
+def test_sample_rejects_bad_fraction(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        sample_fraction(df, 1.5)
+    with pytest.raises(ValueError):
+        stratified_sample(df.withColumn("s", F.lit("a")), "s", {"a": -0.1})
