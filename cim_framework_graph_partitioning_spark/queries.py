@@ -1504,6 +1504,73 @@ ORDER BY chain_id, pos
 """
 
 
+def q_betweenness_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness centrality (operators/betweenness.py —
+    batched multi-source Brandes, one superstep per BFS level per
+    phase) on the capped order-chain forest with the CUSTOMER vertices
+    as the source sample. Closed form on a vertex-disjoint directed
+    path forest: sigma = 1 everywhere, so from the head v_0 of an
+    L-order chain the dependency of the order at position i is the
+    count of targets strictly beyond it — bc(order rn=i) = L - i,
+    bc(customer) = 0; every delta is an integer, so the replay is
+    IEEE-exact regardless of summation order. Branching/multi-path
+    sigma behavior is pytest territory (diamond + random-digraph
+    Brandes replay, tests/test_betweenness.py)."""
+    from .operators.betweenness import betweenness_sampled
+
+    o = _read(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_custkey"), F.lit(100)) == 1
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = (
+        o.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 8)
+        .select(
+            "o_custkey", "o_orderkey", "rn",
+            F.lead("o_orderkey").over(
+                Window.partitionBy("o_custkey").orderBy("rn")
+            ).alias("next_key"),
+        )
+    )
+    first = r.filter(F.col("rn") == 1).select(
+        F.col("o_custkey").alias("src_id"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst_id"),
+    )
+    nxt = r.filter(F.col("next_key").isNotNull()).select(
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("src_id"),
+        (F.col("next_key") + ORDER_OFFSET).alias("dst_id"),
+    )
+    e = first.unionByName(nxt).withColumn("weight", F.lit(1.0))
+    srcs = r.select(F.col("o_custkey").alias("id")).distinct()
+    return (
+        betweenness_sampled(spark, e, srcs, max_depth=16)
+        .select("id", F.round("bc", 6).alias("bc"))
+        .orderBy("id")
+    )
+
+
+_ORACLE_BETWEENNESS = f"""
+WITH r0 AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey % 100 = 1),
+r AS MATERIALIZED (
+  SELECT o_custkey, o_orderkey, rn,
+         count(*) OVER (PARTITION BY o_custkey) AS L
+  FROM r0 WHERE rn <= 8)
+SELECT CAST(o_custkey AS BIGINT) AS id, 0.0 AS bc
+FROM (SELECT DISTINCT o_custkey FROM r)
+UNION ALL
+SELECT CAST(o_orderkey + {ORDER_OFFSET} AS BIGINT) AS id,
+       round(CAST(L - rn AS DOUBLE), 6) AS bc
+FROM r
+ORDER BY id
+"""
+
+
 def q_corpus_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule edge-derivation half of corpus_pipeline, fully
     oracled: a SQL-reproducible corpus (modular arithmetic instead of
@@ -2390,6 +2457,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hits_converged": (q_hits_converged, _hits_dynamic_sql(8)),
     "kcore_coreness": (q_kcore_coreness, _kcore_sql(24)),
     "mis_greedy": (q_mis_greedy, _ORACLE_MIS),
+    "betweenness_chains": (q_betweenness_chains, _ORACLE_BETWEENNESS),
     "clustering_coeff": (q_clustering_coeff, _ORACLE_CLUSTERING),
     "ppr_seeds": (q_ppr_seeds,
                   _ppr_dynamic_sql(_SQL_EDGES, max_steps=24, n_seeds=3,
@@ -2474,8 +2542,8 @@ _GATE_ORDER = [
     "corpus_edges", "chain_decomposition",
     # ~5-30s: shallow iterative
     "lpa_2steps", "lpa_1step", "lpa_anchored", "pagerank_converged",
-    "mis_greedy", "random_walks", "biased_walks", "sssp_parts",
-    "balanced_partition",
+    "mis_greedy", "betweenness_chains", "random_walks", "biased_walks",
+    "sssp_parts", "balanced_partition",
     # heavies: deep fixpoints / peels
     "pagerank_3steps", "hits_3steps", "hits_converged",
     "connected_components", "kcore_coreness", "ppr_seeds",
