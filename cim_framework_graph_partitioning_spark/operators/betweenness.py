@@ -36,6 +36,103 @@ from ..plans.barrier import release_checkpoint
 from ..plans.scale import auto_blocks
 
 
+def harmonic_centrality_sampled(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 64,
+) -> DataFrame:
+    """Harmonic centrality estimated from sampled sources:
+    H(v) = sum over sources s reaching v of 1 / d(s, v) (the
+    closeness variant that is well-defined on disconnected graphs —
+    Boldi & Vigna 2014). Directed, unweighted; reuses the batched BFS
+    of ``betweenness_sampled`` (same scale shape), then folds
+    1/level over the per-level membership tables — no second phase.
+    Returns (id, harmonic) for every reached vertex; sources score 0
+    unless another source reaches them."""
+    p = auto_blocks(edges.count(), spark.sparkContext.defaultParallelism)
+    e = (
+        edges.select("src_id", "dst_id").distinct()
+        .repartition(p, "src_id")
+        .persist()
+    )
+    e.count()
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        levels = _bfs_levels(spark, e, sources, max_depth)
+        if not levels:
+            return spark.createDataFrame([], "id long, harmonic double")
+        parts = [levels[0].select("v", F.lit(0.0).alias("h"))]
+        for d, lv in enumerate(levels[1:], start=1):
+            parts.append(lv.select("v", F.lit(1.0 / d).alias("h")))
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        result = (
+            out.groupBy(F.col("v").alias("id"))
+            .agg(F.sum("h").alias("harmonic"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
+        e.unpersist()
+    for lv in levels:
+        release_checkpoint(lv)
+    return result
+
+
+def _bfs_levels(
+    spark: SparkSession,
+    e: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+) -> list[DataFrame]:
+    """Batched multi-source level-synchronous BFS over a cached,
+    src-partitioned edge table. Returns one (s, v, sigma) frame per
+    level (each localCheckpointed — caller releases); empty list if
+    there are no sources. sigma = number of shortest s→v paths."""
+    levels: list[DataFrame] = []
+    frontier = (
+        sources.select(
+            F.col("id").alias("s"),
+            F.col("id").alias("v"),
+            F.lit(1.0).alias("sigma"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if frontier.isEmpty():
+        release_checkpoint(frontier)
+        return []
+    levels.append(frontier)
+    reached = frontier.select("s", "v")
+    scratch: list[DataFrame] = []
+    for _d in range(max_depth):
+        nxt = (
+            frontier.hint("shuffle_hash")
+            .join(e, frontier.v == e.src_id)
+            .groupBy("s", F.col("dst_id").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(reached, ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            release_checkpoint(nxt)
+            break
+        levels.append(nxt)
+        reached = reached.unionByName(nxt.select("s", "v")).localCheckpoint(
+            eager=True
+        )
+        scratch.append(reached)
+        frontier = nxt
+    else:
+        raise RuntimeError(f"BFS exceeded max_depth={max_depth}")
+    for fr in scratch:
+        release_checkpoint(fr)
+    return levels
+
+
 def betweenness_sampled(
     spark: SparkSession,
     edges: DataFrame,
@@ -60,46 +157,11 @@ def betweenness_sampled(
 
     shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(p))
-    levels: list[DataFrame] = []  # levels[d]: (s, v, sigma) at dist d
     scratch: list[DataFrame] = []  # checkpoints to release at the end
     try:
-        frontier = (
-            sources.select(
-                F.col("id").alias("s"),
-                F.col("id").alias("v"),
-                F.lit(1.0).alias("sigma"),
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        if frontier.isEmpty():
-            release_checkpoint(frontier)
-            e.unpersist()
+        levels = _bfs_levels(spark, e, sources, max_depth)
+        if not levels:
             return spark.createDataFrame([], "id long, bc double")
-        levels.append(frontier)
-        reached = frontier.select("s", "v")
-        for _d in range(max_depth):
-            nxt = (
-                frontier.hint("shuffle_hash")
-                .join(e, frontier.v == e.src_id)
-                .groupBy("s", F.col("dst_id").alias("v"))
-                .agg(F.sum("sigma").alias("sigma"))
-                .join(reached, ["s", "v"], "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            if nxt.isEmpty():
-                release_checkpoint(nxt)
-                break
-            levels.append(nxt)
-            reached = reached.unionByName(nxt.select("s", "v")).localCheckpoint(
-                eager=True
-            )
-            scratch.append(reached)
-            frontier = nxt
-        else:
-            raise RuntimeError(
-                f"betweenness BFS exceeded max_depth={max_depth}"
-            )
 
         # backward sweep: delta at the deepest level starts at 0
         bc_parts: list[DataFrame] = [

@@ -1551,6 +1551,63 @@ def q_betweenness_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality (operators/betweenness.py — same
+    batched BFS, 1/distance fold instead of the dependency sweep) on
+    the capped order-chain forest, customer sources. Closed form: the
+    order at position i is exactly i hops from its chain's head, so
+    harmonic(order rn=i) = 1/i and harmonic(customer) = 0."""
+    from .operators.betweenness import harmonic_centrality_sampled
+
+    o = _read(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_custkey"), F.lit(100)) == 1
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = (
+        o.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 8)
+        .select(
+            "o_custkey", "o_orderkey", "rn",
+            F.lead("o_orderkey").over(
+                Window.partitionBy("o_custkey").orderBy("rn")
+            ).alias("next_key"),
+        )
+    )
+    first = r.filter(F.col("rn") == 1).select(
+        F.col("o_custkey").alias("src_id"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst_id"),
+    )
+    nxt = r.filter(F.col("next_key").isNotNull()).select(
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("src_id"),
+        (F.col("next_key") + ORDER_OFFSET).alias("dst_id"),
+    )
+    e = first.unionByName(nxt).withColumn("weight", F.lit(1.0))
+    srcs = r.select(F.col("o_custkey").alias("id")).distinct()
+    return (
+        harmonic_centrality_sampled(spark, e, srcs, max_depth=16)
+        .select("id", F.round("harmonic", 6).alias("harmonic"))
+        .orderBy("id")
+    )
+
+
+_ORACLE_HARMONIC = f"""
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey % 100 = 1)
+SELECT CAST(o_custkey AS BIGINT) AS id, 0.0 AS harmonic
+FROM (SELECT DISTINCT o_custkey FROM r)
+UNION ALL
+SELECT CAST(o_orderkey + {ORDER_OFFSET} AS BIGINT) AS id,
+       round(1.0 / rn, 6) AS harmonic
+FROM r WHERE rn <= 8
+ORDER BY id
+"""
+
+
 _ORACLE_BETWEENNESS = f"""
 WITH r0 AS (
   SELECT o_custkey, o_orderkey,
@@ -2458,6 +2515,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "kcore_coreness": (q_kcore_coreness, _kcore_sql(24)),
     "mis_greedy": (q_mis_greedy, _ORACLE_MIS),
     "betweenness_chains": (q_betweenness_chains, _ORACLE_BETWEENNESS),
+    "harmonic_chains": (q_harmonic_chains, _ORACLE_HARMONIC),
     "clustering_coeff": (q_clustering_coeff, _ORACLE_CLUSTERING),
     "ppr_seeds": (q_ppr_seeds,
                   _ppr_dynamic_sql(_SQL_EDGES, max_steps=24, n_seeds=3,
@@ -2542,7 +2600,8 @@ _GATE_ORDER = [
     "corpus_edges", "chain_decomposition",
     # ~5-30s: shallow iterative
     "lpa_2steps", "lpa_1step", "lpa_anchored", "pagerank_converged",
-    "mis_greedy", "betweenness_chains", "random_walks", "biased_walks",
+    "mis_greedy", "betweenness_chains", "harmonic_chains",
+    "random_walks", "biased_walks",
     "sssp_parts", "balanced_partition",
     # heavies: deep fixpoints / peels
     "pagerank_3steps", "hits_3steps", "hits_converged",

@@ -10,6 +10,7 @@ import pytest
 
 from cim_framework_graph_partitioning_spark.operators.betweenness import (
     betweenness_sampled,
+    harmonic_centrality_sampled,
 )
 
 
@@ -109,3 +110,44 @@ def test_betweenness_isolated_source(spark):
            betweenness_sampled(spark, _edges_df(spark, [(1, 2)]),
                                _src_df(spark, [99])).collect()}
     assert got == {99: 0.0}
+
+
+def test_harmonic_directed_path(spark):
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    got = {r.id: r.harmonic for r in
+           harmonic_centrality_sampled(spark, _edges_df(spark, pairs),
+                                       _src_df(spark, [0])).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 0.5, 3: pytest.approx(1 / 3)}
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_harmonic_matches_python_bfs(spark, seed):
+    rng = random.Random(seed)
+    pairs = sorted({(rng.randrange(20), rng.randrange(20)) for _ in range(70)}
+                   - {(i, i) for i in range(20)})
+    sources = [0, 7, 13]
+    got = {r.id: r.harmonic for r in
+           harmonic_centrality_sampled(spark, _edges_df(spark, pairs),
+                                       _src_df(spark, sources)).collect()}
+    adj = defaultdict(list)
+    for u, v in pairs:
+        adj[u].append(v)
+    want = defaultdict(float)
+    for s in sources:
+        want.setdefault(s, 0.0)
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        for v, d in dist.items():
+            if d > 0:
+                want[v] += 1.0 / d
+            else:
+                want.setdefault(v, 0.0)
+    assert set(got) == set(want)
+    for v, h in want.items():
+        assert got[v] == pytest.approx(h, rel=1e-9, abs=1e-12)
