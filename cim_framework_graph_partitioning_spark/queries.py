@@ -1906,6 +1906,91 @@ SELECT id, round(hub, 10) AS hub, round(auth, 10) AS auth
 FROM final ORDER BY id"""
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-part gate graph
+    (operators/metrics.py — every sum integral, so the scalar is
+    bit-reproducible; only the terminal multiply/divide/sqrt are
+    floating, and those are IEEE-exact given exact inputs)."""
+    from .operators.metrics import degree_assortativity
+
+    e = co_part_edges(spark, sf_dir, order_mod=3)
+    return degree_assortativity(e).select(
+        "n_edges", F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+_ORACLE_ASSORTATIVITY = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
+und AS MATERIALIZED (SELECT src_id, dst_id FROM e0
+        UNION SELECT dst_id, src_id FROM e0),
+deg AS MATERIALIZED (
+  SELECT src_id AS id, CAST(count(*) AS BIGINT) AS deg
+  FROM und GROUP BY 1),
+p AS (SELECT dx.deg AS dx, dy.deg AS dy
+      FROM und u JOIN deg dx ON u.src_id = dx.id
+      JOIN deg dy ON u.dst_id = dy.id),
+s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM p)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       CASE WHEN (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+             AND (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+            THEN round(
+              (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+              6)
+            END AS assortativity
+FROM s
+"""
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of a deterministic 4-way vertex partition
+    (pmod(id, 4)) over the co-part gate graph (operators/metrics.py).
+    All sums integral; the per-community Q fold is community-sorted on
+    both engines so the floating addition order is pinned."""
+    from .operators.metrics import modularity
+
+    e = co_part_edges(spark, sf_dir, order_mod=3)
+    labels = (
+        e.select(F.col("src_id").alias("id"))
+        .unionByName(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+        .select("id", F.pmod(F.col("id"), F.lit(4)).alias("label"))
+    )
+    return modularity(e, labels).select(
+        "n_edges", "n_communities", F.round("modularity", 6).alias("modularity")
+    )
+
+
+_ORACLE_MODULARITY = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
+el AS MATERIALIZED (
+  SELECT src_id % 4 AS lx, dst_id % 4 AS ly FROM e0),
+m_row AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
+w AS (SELECT lx AS c, CAST(count(*) AS BIGINT) AS within
+      FROM el WHERE lx = ly GROUP BY 1),
+cd AS (SELECT c, CAST(count(*) AS BIGINT) AS cdeg
+       FROM (SELECT lx AS c FROM el UNION ALL SELECT ly FROM el)
+       GROUP BY 1),
+per_c AS (
+  SELECT cd.c, cd.cdeg, coalesce(w.within, 0) AS within
+  FROM cd LEFT JOIN w ON cd.c = w.c)
+SELECT m AS n_edges, CAST(count(*) AS BIGINT) AS n_communities,
+       round(sum(
+         CAST(within AS DOUBLE) / m
+         - (CAST(cdeg AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+           * (CAST(cdeg AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+         ORDER BY per_c.c), 6) AS modularity
+FROM per_c CROSS JOIN m_row
+GROUP BY m
+"""
+
+
 def q_mis_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal independent set on the co-part gate graph
     (operators/mis.py — priority-parallel greedy, md5 hash family so
@@ -2514,6 +2599,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hits_converged": (q_hits_converged, _hits_dynamic_sql(8)),
     "kcore_coreness": (q_kcore_coreness, _kcore_sql(24)),
     "mis_greedy": (q_mis_greedy, _ORACLE_MIS),
+    "assortativity": (q_assortativity, _ORACLE_ASSORTATIVITY),
+    "modularity_parts": (q_modularity, _ORACLE_MODULARITY),
     "betweenness_chains": (q_betweenness_chains, _ORACLE_BETWEENNESS),
     "harmonic_chains": (q_harmonic_chains, _ORACLE_HARMONIC),
     "clustering_coeff": (q_clustering_coeff, _ORACLE_CLUSTERING),
@@ -2597,6 +2684,7 @@ _GATE_ORDER = [
     "top_depended_parts",
     "degree_distribution", "frontier_indegree0", "graph_contraction",
     "triangle_count", "clustering_coeff", "adamic_adar_top",
+    "assortativity", "modularity_parts",
     "corpus_edges", "chain_decomposition",
     # ~5-30s: shallow iterative
     "lpa_2steps", "lpa_1step", "lpa_anchored", "pagerank_converged",
