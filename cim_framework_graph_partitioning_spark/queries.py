@@ -1998,16 +1998,30 @@ def q_mis_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SEQUENTIAL greedy over the same (md5, id) priority order with a
     recursive-CTE fold carrying the accumulated set — a different
     algorithm whose fixpoint provably coincides (LFMIS equivalence,
-    module docstring)."""
+    module docstring). Vertex-sliced (part_mod=4, ~500 vertices): the
+    replay costs one recursive-CTE iteration PER VERTEX, so the gate
+    instance bounds the vertex set — the induced subgraph keeps real
+    per-order co-occurrence structure; full-size behavior is pytest
+    territory."""
     from .operators.mis import maximal_independent_set
 
-    e = co_part_edges(spark, sf_dir, order_mod=3)
+    e = co_part_edges(spark, sf_dir, part_mod=4)
     got, _ = maximal_independent_set(spark, e, seed=42, hash_family="md5")
     return got.orderBy("id")
 
 
+_SQL_CO_PART_MIS = """
+  SELECT a.l_partkey AS src_id, b.l_partkey AS dst_id
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey % 4 = 1) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey % 4 = 1) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+"""
+
 _ORACLE_MIS = f"""
-WITH RECURSIVE e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
+WITH RECURSIVE e0 AS MATERIALIZED ({_SQL_CO_PART_MIS}),
 und AS MATERIALIZED (
   SELECT src_id AS a, dst_id AS b FROM e0
   UNION SELECT dst_id, src_id FROM e0),

@@ -74,7 +74,8 @@ def order_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def co_part_edges(
-    spark: SparkSession, sf_dir: str, order_mod: int | None = None
+    spark: SparkSession, sf_dir: str, order_mod: int | None = None,
+    part_mod: int | None = None,
 ) -> DataFrame:
     """Undirected co-purchase graph over PARTS: parts appearing in the
     same order. One row per (a, b) with a < b; weight 1.0. Unlike the
@@ -88,10 +89,19 @@ def co_part_edges(
     contributes its complete per-order clique — local structure
     (triangles, cores) survives while edge volume drops ~1/order_mod.
     Gate queries use it to bound sf0.01 oracle cost; one-shot/fixpoint
-    semantics are unchanged."""
+    semantics are unchanged.
+
+    ``part_mod``: optional VERTEX slice (keep l_partkey % part_mod
+    == 1), i.e. the induced subgraph on ~1/part_mod of the parts —
+    the knob that actually shrinks the vertex set (order slicing
+    barely does: parts recur across orders). For per-VERTEX
+    sequential-replay oracles (MIS) whose DuckDB cost is one
+    recursive-CTE iteration per vertex."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     if order_mod is not None:
         li = li.filter(F.pmod(F.col("l_orderkey"), F.lit(order_mod)) == 0)
+    if part_mod is not None:
+        li = li.filter(F.pmod(F.col("l_partkey"), F.lit(part_mod)) == 1)
     op = li.select("l_orderkey", "l_partkey").distinct()
     a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src_id"))
     b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst_id"))
