@@ -58,7 +58,11 @@ from cim_framework_graph_partitioning_spark.operators.kcore import coreness  # n
 from cim_framework_graph_partitioning_spark.operators.labelprop import (  # noqa: E402
     label_propagation,
 )
+from cim_framework_graph_partitioning_spark.operators.mis import (  # noqa: E402
+    maximal_independent_set,
+)
 from cim_framework_graph_partitioning_spark.operators.pagerank import pagerank  # noqa: E402
+from cim_framework_graph_partitioning_spark.operators.ranking import bm25_topk  # noqa: E402
 from cim_framework_graph_partitioning_spark.operators.partitioner import (  # noqa: E402
     balanced_partition,
 )
@@ -163,6 +167,12 @@ def main() -> None:
         "clustering_corpus",
         lambda: local_clustering_coefficient(edges).count(),
     )
+    # round 5: maximal independent set (priority-parallel greedy rounds)
+    mis_outs = timed(
+        "mis_corpus",
+        lambda: maximal_independent_set(spark, edges)[1],
+    )
+    extra["mis_supersteps"] = mis_outs[0]
     edges.unpersist()
 
     # --- testdata-table headliners ---------------------------------------
@@ -176,6 +186,13 @@ def main() -> None:
         lambda: minhash_near_duplicates(
             spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.4
         ).count(),
+    )
+    timed(
+        "bm25_docs",
+        lambda: bm25_topk(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            ["vector", "hash", "spark", "stream"], k=25,
+        ).collect(),
     )
 
     total = round(sum(timings.values()), 3)

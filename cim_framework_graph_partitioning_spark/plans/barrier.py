@@ -36,7 +36,34 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
-def release_checkpoint(df: DataFrame | None) -> None:
+def checkpoint_leaf_ids(df: DataFrame | None) -> frozenset[int]:
+    """RDD ids of the LogicalRDD leaves in ``df``'s analyzed plan.
+
+    Used to mark checkpoints a loop does NOT own (the caller's input
+    may itself be a localCheckpoint'ed frame) so ``release_checkpoint``
+    skips them — releasing an ancestor checkpoint mid-loop truncated
+    lineage that later supersteps still needed
+    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; hit by near_dup_clusters whose
+    materialized pair graph feeds the CC fixpoint)."""
+    ids: set[int] = set()
+    if df is None:
+        return frozenset()
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        leaves = plan.collectLeaves()  # allow-jvm-handle: py4j walk of the analyzed plan, not the Python RDD API
+        it = leaves.iterator()
+        while it.hasNext():
+            leaf = it.next()
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                ids.add(leaf.rdd().id())  # allow-jvm-handle: py4j accessor on the JVM plan leaf, not the Python RDD API
+    except Exception:
+        pass
+    return frozenset(ids)
+
+
+def release_checkpoint(
+    df: DataFrame | None, protect: frozenset[int] = frozenset()
+) -> None:
     """Explicitly unpersist the RDD(s) behind a localCheckpoint'ed frame.
 
     ``Dataset.localCheckpoint`` registers its materialized RDD in the
@@ -51,7 +78,10 @@ def release_checkpoint(df: DataFrame | None) -> None:
     LogicalRDD: a state frame is often a Project/Filter OVER the
     checkpointed LogicalRDD (e.g. pagerank returns
     ``newc.select("id", "rank", "has_out")``), and matching only the
-    root silently skipped the release for exactly those frames."""
+    root silently skipped the release for exactly those frames.
+
+    ``protect`` lists RDD ids the caller does NOT own (see
+    ``checkpoint_leaf_ids``); those leaves are left pinned."""
     if df is None:
         return
     try:
@@ -61,7 +91,9 @@ def release_checkpoint(df: DataFrame | None) -> None:
         while it.hasNext():
             leaf = it.next()
             if leaf.getClass().getSimpleName() == "LogicalRDD":
-                leaf.rdd().unpersist(False)  # allow-jvm-handle: py4j accessor on the JVM plan leaf, not the Python RDD API
+                rdd = leaf.rdd()  # allow-jvm-handle: py4j accessor on the JVM plan leaf, not the Python RDD API
+                if rdd.id() not in protect:
+                    rdd.unpersist(False)
     except Exception:
         pass  # non-checkpointed frame or internal API drift — harmless
 

@@ -40,7 +40,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .barrier import PlanBarrier, release_checkpoint
+from .barrier import PlanBarrier, checkpoint_leaf_ids, release_checkpoint
 
 
 class SuperstepRunner:
@@ -180,6 +180,11 @@ class SuperstepRunner:
         )
         start = 0
         state = init_state
+        # checkpoints the CALLER owns (its init plan may sit on top of a
+        # localCheckpoint'ed input, e.g. a materialized near-dup pair
+        # graph): never release those — freeing an ancestor checkpoint
+        # mid-loop kills every later superstep that still reads it.
+        foreign = checkpoint_leaf_ids(init_state)
         if resume:
             last = self.latest_step()
             if last is not None:
@@ -212,13 +217,13 @@ class SuperstepRunner:
                 snap = self._checkpoint(new_state, step)
                 if new_state.is_cached:
                     new_state.unpersist()
-                release_checkpoint(new_state)
+                release_checkpoint(new_state, protect=foreign)
                 new_state = snap
                 barrier.mark_hard()
             elif pre_truncated:
                 if step % barrier.hard_every == 0:
                     cut = barrier.cut(new_state, hard=True)
-                    release_checkpoint(new_state)  # replaced pre-truncated frame
+                    release_checkpoint(new_state, protect=foreign)  # replaced pre-truncated frame
                     new_state = cut
             else:
                 trunc = barrier.cut(new_state)
@@ -232,7 +237,7 @@ class SuperstepRunner:
             # RDD — otherwise every superstep leaks one checkpointed RDD
             # plus its whole (untruncated) ancestry into the driver heap.
             if state is not new_state:
-                release_checkpoint(state)
+                release_checkpoint(state, protect=foreign)
             state = new_state
             if done:
                 break
