@@ -387,3 +387,59 @@ def near_dup_clusters(spark, docs: DataFrame, dup_pairs: DataFrame,
         "doc_id", "cluster_id", "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def curate_corpus(
+    spark,
+    docs: DataFrame,
+    keep_lang: str = "en",
+    min_quality: float = 0.6,
+    jaccard_threshold: float = 0.4,
+    minhash_k: int = 32,
+    minhash_bands: int = 16,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed training-corpus curation pipeline: language-ID gate
+    -> quality gate -> exact dedup (keep min id per sha256) -> minhash
+    near-dup clusters (keep the min-id representative per cluster).
+    Returns the curated set (doc_id, quality, n_tokens).
+
+    Each stage strictly shrinks what the next touches: stages 1-2 are
+    JVM expressions fused into the scan, stage 3 is one shuffle on the
+    content hash, stage 4 generates candidates over the survivors only
+    and iterates connected components over the pair graph only — the
+    plan a 100-TB curation run needs (never score, hash, or shingle a
+    document that an earlier stage already discarded).
+    """
+    from ..functions.text import lang_id, quality_score, token_count
+
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        lang_id(text_col).alias("pred_lang"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    kept = (
+        scored.filter(
+            (F.col("pred_lang") == keep_lang)
+            & (F.col("quality") >= min_quality)
+        )
+        # materialized once: the near-dup stage issues several actions
+        # (pair verify, CC block sizing, per-round convergence checks)
+        # that would otherwise each replay the scoring scan
+        .localCheckpoint(eager=True)
+    )
+    kept = kept.join(exact_duplicates(kept), "doc_id", "left_anti")
+    pairs = minhash_near_duplicates(
+        kept, threshold=jaccard_threshold, k=minhash_k, bands=minhash_bands,
+        hash_family=hash_family,
+    )
+    clusters = near_dup_clusters(spark, kept, pairs)
+    dropped = clusters.filter(~F.col("is_canonical")).select("doc_id")
+    return (
+        kept.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "quality", "n_tokens")
+    )

@@ -30,6 +30,7 @@ from .operators.dedup import (
 from .operators.edges import derive_edges
 from .operators.hits import hits
 from .operators.kcore import coreness
+from .operators.truss import trussness
 from .operators.labelprop import label_propagation
 from .operators.linkpred import adamic_adar_pairs
 from .operators.pagerank import pagerank
@@ -1030,9 +1031,17 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~2^-64 xxhash64 bucket collision, which exact-jaccard verification
 # would have to also pass to differ). Every CTE is MATERIALIZED (DuckDB
 # inlines by default; the signature CTE is referenced twice).
-_MINHASH_CTES = r"""toks AS MATERIALIZED (
+def _minhash_ctes(base: str = "documents") -> str:
+    """The md5-family minhash CTE chain over an arbitrary base relation
+    (``base`` must expose doc_id, text) — shared by the standalone
+    near-dup queries (base = documents) and the curation pipeline
+    (base = the filtered survivor set)."""
+    return _MINHASH_CTES_TEMPLATE.replace("{BASE}", base)
+
+
+_MINHASH_CTES_TEMPLATE = r"""toks AS MATERIALIZED (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-  FROM documents WHERE trim(text) <> ''),
+  FROM {BASE} WHERE trim(text) <> ''),
 sh AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(1, len(t) - 2),
@@ -1065,6 +1074,8 @@ verified AS MATERIALIZED (
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
   WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4)"""
+
+_MINHASH_CTES = _minhash_ctes("documents")
 
 _ORACLE_MINHASH = f"""
 WITH {_MINHASH_CTES}
@@ -1120,6 +1131,95 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster_size") >= 2)
         .orderBy("cluster_id", "doc_id")
     )
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus curation pipeline as ONE composed query
+    — the end-to-end shape every LLM data pipeline runs, here checked
+    end-to-end rather than stage-by-stage:
+
+      1. language ID       keep pred_lang = 'en'        (functions/text.py)
+      2. quality gate      keep round(quality, 6) >= 0.6
+      3. exact dedup       drop non-canonical sha256 duplicates
+      4. near-dup dedup    minhash-LSH pairs (md5 family) -> connected-
+                           component clusters -> keep the min-id
+                           representative per cluster  (operators/dedup.py)
+
+    Returns the curated set (doc_id, quality, n_tokens). Scale shape:
+    stages 1-2 are JVM expressions on the scan; stage 3 is one shuffle
+    on the content hash; stage 4 runs candidate generation on the
+    SURVIVORS only and its CC fixpoint on the pair graph only — each
+    stage strictly shrinks the data the next one touches, which is the
+    whole point of running curation as one plan at 100 TB."""
+    from .operators.dedup import curate_corpus
+
+    d = _read(spark, sf_dir, "documents")
+    return curate_corpus(
+        spark, d, keep_lang="en", min_quality=0.6,
+        jaccard_threshold=0.4, minhash_k=32, minhash_bands=16,
+        hash_family="md5",
+    ).orderBy("doc_id")
+
+
+# End-to-end replica of the curation pipeline: the lang-id CASE, the
+# quality arithmetic, sha256-exact dedup (text equality — identical
+# semantics), the md5-family minhash chain over the SURVIVOR set, and
+# the recursive-CTE connected-components replay for cluster formation.
+_ORACLE_CURATION = (
+    r"""
+WITH RECURSIVE
+lang AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  WHERE trim(text) <> ''
+    AND len(regexp_extract_all(lower(text),
+        '\b(the|and|of|to|a|in|is|it|that|for)\b')) * 1.0
+        / len(regexp_split_to_array(trim(text), '\s+')) > 0.05),
+qs AS MATERIALIZED (
+  SELECT doc_id, text,
+         length(text) * 1.0 AS n,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[^\w\s]')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN trim(text) = '' THEN 0.0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) * 1.0 END AS toks,
+         len(regexp_extract_all(text,
+             '(?i)\b(the|and|of|to|a|in|is|it|that|for)\b')) * 1.0 AS hits
+  FROM lang),
+scored AS MATERIALIZED (
+  SELECT doc_id, text, CAST(toks AS BIGINT) AS n_tokens,
+         round(least(n / 500.0, 1.0) * 0.4
+               + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.4
+               + least(CASE WHEN toks > 0 THEN hits / toks ELSE 0.0 END
+                       * 5.0, 1.0) * 0.2, 6) AS quality
+  FROM qs),
+exd AS MATERIALIZED (
+  SELECT text, min(doc_id) AS canonical_id FROM scored
+  WHERE quality >= 0.6 GROUP BY 1),
+kept AS MATERIALIZED (
+  SELECT s.doc_id, s.text, s.quality, s.n_tokens
+  FROM scored s JOIN exd ON s.text = exd.text AND s.doc_id = exd.canonical_id
+  WHERE s.quality >= 0.6),
+"""
+    + _minhash_ctes("kept")
+    + r""",
+und AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION ALL
+  SELECT doc_b, doc_a FROM verified),
+lab(doc_id, comp) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.b, l.comp FROM lab l JOIN und u ON u.a = l.doc_id),
+dropped AS MATERIALIZED (
+  SELECT doc_id FROM (SELECT doc_id, min(comp) AS cluster_id
+                      FROM lab GROUP BY 1)
+  WHERE doc_id <> cluster_id)
+SELECT k.doc_id, k.quality, k.n_tokens
+FROM kept k LEFT JOIN dropped d ON d.doc_id = k.doc_id
+WHERE d.doc_id IS NULL
+ORDER BY k.doc_id
+"""
+)
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2092,6 +2192,59 @@ c{i} AS MATERIALIZED (
     return pre + body + f"\nSELECT id, core FROM c{steps} ORDER BY id"
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-edge trussness on the co-part gate graph (order_mod=3,
+    39k edges / 61.5k triangles at sf0.01 — triangle-rich, so the truss
+    hierarchy is non-degenerate: trussness spans 2..13) via the local
+    h-index fixpoint (operators/truss.py). 6 value-changing supersteps
+    to fixpoint at sf0.01 but 15 at the DENSER sf0.001 gate graph (the
+    unroll bound is a structure property, not a size one — an initial
+    10-step unroll mismatched loudly at sf0.001, the self-policing
+    contract working); the oracle unrolls 20 — over-unrolling a
+    fixpoint is the identity and every value is integral, so the replay
+    is bit-exact by construction (same contract as kcore_coreness)."""
+    e = co_part_edges(spark, sf_dir, order_mod=3)
+    truss, _ = trussness(spark, e)
+    return truss.orderBy("src_id", "dst_id")
+
+
+def _ktruss_sql(steps: int) -> str:
+    """Truss h-index fixpoint unroll: static per-(triangle, member
+    edge) incidence with the other two member edges inline, then per
+    step rho = least of the two other edges' values and the h-index via
+    the rank trick (count FILTER WHERE rho >= rn, values DESC)."""
+    pre = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
+edg AS MATERIALIZED (SELECT src_id AS u, dst_id AS v FROM e0),
+tri AS MATERIALIZED (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM edg e1 JOIN edg e2 ON e2.u = e1.v
+  JOIN edg e3 ON e3.u = e1.u AND e3.v = e2.v),
+inc AS MATERIALIZED (
+  SELECT x AS eu, y AS ev, x AS ou1, z AS ov1, y AS ou2, z AS ov2 FROM tri
+  UNION ALL SELECT x, z, x, y, y, z FROM tri
+  UNION ALL SELECT y, z, x, y, x, z FROM tri),
+t0 AS MATERIALIZED (
+  SELECT eu, ev, CAST(count(*) AS BIGINT) AS t FROM inc GROUP BY 1, 2)"""
+    body = ""
+    for i in range(1, steps + 1):
+        p = i - 1
+        body += f""",
+t{i} AS MATERIALIZED (
+  SELECT eu, ev, CAST(count(*) FILTER (WHERE rho >= rn) AS BIGINT) AS t
+  FROM (SELECT inc.eu, inc.ev, least(a.t, b.t) AS rho,
+               row_number() OVER (PARTITION BY inc.eu, inc.ev
+                                  ORDER BY least(a.t, b.t) DESC) AS rn
+        FROM inc JOIN t{p} a ON a.eu = inc.ou1 AND a.ev = inc.ov1
+                 JOIN t{p} b ON b.eu = inc.ou2 AND b.ev = inc.ov2)
+  GROUP BY 1, 2)"""
+    return pre + body + f"""
+SELECT e.u AS src_id, e.v AS dst_id,
+       coalesce(t.t, 0) + 2 AS trussness
+FROM edg e LEFT JOIN t{steps} t ON t.eu = e.u AND t.ev = e.v
+ORDER BY 1, 2"""
+
+
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient on the co-part graph
     (operators/triangles.py local_clustering_coefficient — reuses the
@@ -2612,6 +2765,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hits_3steps": (q_hits_3steps, _hits_sql(3)),
     "hits_converged": (q_hits_converged, _hits_dynamic_sql(8)),
     "kcore_coreness": (q_kcore_coreness, _kcore_sql(24)),
+    "ktruss_edges": (q_ktruss, _ktruss_sql(20)),
     "mis_greedy": (q_mis_greedy, _ORACLE_MIS),
     "assortativity": (q_assortativity, _ORACLE_ASSORTATIVITY),
     "modularity_parts": (q_modularity, _ORACLE_MODULARITY),
@@ -2658,6 +2812,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                            _pagerank_dynamic_sql(_SQL_EDGES, max_steps=8)),
     "minhash_near_dups": (q_minhash_near_dups, _ORACLE_MINHASH),
     "dedup_clusters": (q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS),
+    "corpus_curation": (q_corpus_curation, _ORACLE_CURATION),
     "simhash_near_dups": (q_simhash_near_dups, _ORACLE_SIMHASH),
     "embedding_ivf_topk": (q_embedding_ivf_topk, _ORACLE_EMB_IVF),
     "corpus_edges": (q_corpus_edges, _ORACLE_CORPUS_EDGES),
@@ -2694,7 +2849,8 @@ _GATE_ORDER = [
     "media_frame_sample", "embedding_topk",
     # ~1-10s: one-shot graph / dedup / ANN
     "token_jaccard_pairs", "simhash_near_dups", "minhash_near_dups",
-    "dedup_clusters", "embedding_near_dups", "embedding_ivf_topk",
+    "dedup_clusters", "corpus_curation", "embedding_near_dups",
+    "embedding_ivf_topk",
     "top_depended_parts",
     "degree_distribution", "frontier_indegree0", "graph_contraction",
     "triangle_count", "clustering_coeff", "adamic_adar_top",
@@ -2707,7 +2863,7 @@ _GATE_ORDER = [
     "sssp_parts", "balanced_partition",
     # heavies: deep fixpoints / peels
     "pagerank_3steps", "hits_3steps", "hits_converged",
-    "connected_components", "kcore_coreness", "ppr_seeds",
+    "connected_components", "kcore_coreness", "ktruss_edges", "ppr_seeds",
     "longest_path", "corpus_pipeline", "condensation",
     "scc_order_cycles", "scc_dag_pipeline",
 ]

@@ -396,3 +396,37 @@ def biased_walks_oracle(
                 out[(start, w, step)] = nxt
                 prev, cur = cur, nxt
     return out
+
+
+def truss_oracle(edges: list[tuple[int, int]]) -> dict[tuple[int, int], int]:
+    """Exact per-edge trussness via the sequential peel (a DIFFERENT
+    algorithm from the engine's h-index fixpoint): for k = 2, 3, ...
+    repeatedly delete edges whose in-subgraph support < k-1; edges
+    deleted during round k have trussness k."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    remaining = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        remaining.add((a, b))
+        adj[a].add(b)
+        adj[b].add(a)
+    truss = {}
+    k = 2
+    while remaining:
+        changed = True
+        while changed:
+            changed = False
+            for e in sorted(remaining):
+                u, v = e
+                if len(adj[u] & adj[v]) < k - 1:
+                    truss[e] = k
+                    remaining.discard(e)
+                    adj[u].discard(v)
+                    adj[v].discard(u)
+                    changed = True
+        k += 1
+    return truss
