@@ -214,3 +214,52 @@ def betweenness_sampled(
     for fr in levels + scratch:
         release_checkpoint(fr)
     return result
+
+
+def eccentricity_sampled(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 64,
+) -> DataFrame:
+    """Per-source eccentricity over the reachable subgraph: ecc(s) =
+    max over reached v of d(s, v) (directed, unweighted). max over the
+    sample is the standard diameter lower bound; min is a radius
+    estimate (sampled-BFS sketching, Boldi & Vigna 2014 lineage).
+    Reuses the batched multi-source BFS of ``betweenness_sampled`` —
+    one pair-keyed state, supersteps = reachable diameter regardless of
+    sample size. Returns (id, eccentricity) for every source
+    (isolated sources get 0)."""
+    p = auto_blocks(edges.count(), spark.sparkContext.defaultParallelism)
+    e = (
+        edges.select("src_id", "dst_id").distinct()
+        .repartition(p, "src_id")
+        .persist()
+    )
+    e.count()
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        levels = _bfs_levels(spark, e, sources, max_depth)
+        if not levels:
+            return spark.createDataFrame([], "id long, eccentricity long")
+        parts = [
+            lv.select("s").distinct().select(
+                "s", F.lit(d).cast("long").alias("d")
+            )
+            for d, lv in enumerate(levels)
+        ]
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        result = (
+            out.groupBy(F.col("s").alias("id"))
+            .agg(F.max("d").cast("long").alias("eccentricity"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
+        e.unpersist()
+    for lv in levels:
+        release_checkpoint(lv)
+    return result

@@ -1692,6 +1692,58 @@ def q_harmonic_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eccentricity_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled per-source eccentricity (operators/betweenness.py —
+    the same batched BFS, max-level fold) on the capped order-chain
+    forest, customer sources. Closed form: the chain rooted at
+    customer c has its deepest order at distance L(c) = min(#orders,
+    8), so eccentricity(c) = L(c) exactly."""
+    from .operators.betweenness import eccentricity_sampled
+
+    o = _read(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_custkey"), F.lit(100)) == 1
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = (
+        o.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 8)
+        .select(
+            "o_custkey", "o_orderkey", "rn",
+            F.lead("o_orderkey").over(
+                Window.partitionBy("o_custkey").orderBy("rn")
+            ).alias("next_key"),
+        )
+    )
+    first = r.filter(F.col("rn") == 1).select(
+        F.col("o_custkey").alias("src_id"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst_id"),
+    )
+    nxt = r.filter(F.col("next_key").isNotNull()).select(
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("src_id"),
+        (F.col("next_key") + ORDER_OFFSET).alias("dst_id"),
+    )
+    e = first.unionByName(nxt).withColumn("weight", F.lit(1.0))
+    srcs = r.select(F.col("o_custkey").alias("id")).distinct()
+    return (
+        eccentricity_sampled(spark, e, srcs, max_depth=16)
+        .orderBy("id")
+    )
+
+
+_ORACLE_ECCENTRICITY = """
+WITH r AS (
+  SELECT o_custkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey % 100 = 1)
+SELECT CAST(o_custkey AS BIGINT) AS id,
+       CAST(count(*) FILTER (WHERE rn <= 8) AS BIGINT) AS eccentricity
+FROM r GROUP BY 1 ORDER BY id
+"""
+
+
 _ORACLE_HARMONIC = f"""
 WITH r AS (
   SELECT o_custkey, o_orderkey,
@@ -2771,6 +2823,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "modularity_parts": (q_modularity, _ORACLE_MODULARITY),
     "betweenness_chains": (q_betweenness_chains, _ORACLE_BETWEENNESS),
     "harmonic_chains": (q_harmonic_chains, _ORACLE_HARMONIC),
+    "eccentricity_chains": (q_eccentricity_chains, _ORACLE_ECCENTRICITY),
     "clustering_coeff": (q_clustering_coeff, _ORACLE_CLUSTERING),
     "ppr_seeds": (q_ppr_seeds,
                   _ppr_dynamic_sql(_SQL_EDGES, max_steps=24, n_seeds=3,
@@ -2859,6 +2912,7 @@ _GATE_ORDER = [
     # ~5-30s: shallow iterative
     "lpa_2steps", "lpa_1step", "lpa_anchored", "pagerank_converged",
     "mis_greedy", "betweenness_chains", "harmonic_chains",
+    "eccentricity_chains",
     "random_walks", "biased_walks",
     "sssp_parts", "balanced_partition",
     # heavies: deep fixpoints / peels

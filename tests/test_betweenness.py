@@ -151,3 +151,46 @@ def test_harmonic_matches_python_bfs(spark, seed):
     assert set(got) == set(want)
     for v, h in want.items():
         assert got[v] == pytest.approx(h, rel=1e-9, abs=1e-12)
+
+
+def test_eccentricity_directed_path_and_isolated_source(spark):
+    from cim_framework_graph_partitioning_spark.operators.betweenness import (
+        eccentricity_sampled,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    got = {r.id: r.eccentricity for r in
+           eccentricity_sampled(spark, _edges_df(spark, pairs),
+                                _src_df(spark, [0, 2, 9])).collect()}
+    # 9 has no outgoing edges: eccentricity 0 over its reachable set
+    assert got == {0: 3, 2: 1, 9: 0}
+
+
+@pytest.mark.parametrize("seed", [4])
+def test_eccentricity_matches_python_bfs(spark, seed):
+    from cim_framework_graph_partitioning_spark.operators.betweenness import (
+        eccentricity_sampled,
+    )
+
+    rng = random.Random(seed)
+    pairs = sorted({(rng.randrange(20), rng.randrange(20)) for _ in range(70)}
+                   - {(i, i) for i in range(20)})
+    sources = [0, 7, 13]
+    got = {r.id: r.eccentricity for r in
+           eccentricity_sampled(spark, _edges_df(spark, pairs),
+                                _src_df(spark, sources)).collect()}
+    adj = defaultdict(list)
+    for u, v in pairs:
+        adj[u].append(v)
+    want = {}
+    for s in sources:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        want[s] = max(dist.values())
+    assert got == want
