@@ -327,6 +327,64 @@ def embedding_near_duplicates(
     ).filter(F.col("cos") >= threshold)
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    max_chars: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every character k-gram, slide a ``window`` of
+    consecutive gram hashes, keep each window's minimum — the selected
+    set is a deterministic O(1/window)-density sketch with the guarantee
+    that any match of length >= k + window - 1 shares a fingerprint.
+    Returns (doc_id, fingerprint) distinct — the inverted-index input
+    for copy/plagiarism detection and containment dedup (MinHash next
+    door estimates resemblance; winnowing catches CONTAINMENT, which
+    resemblance misses for small-in-large copies).
+
+    All JVM-side: one higher-order-function pass per row builds the gram
+    hash array (``transform`` over ``sequence``), a second builds the
+    window minima (``array_min`` over ``slice``), then explode +
+    distinct — one shuffle total. The gram hash is the md5-prefix
+    bigint (same cross-engine hash bridge as walks.py: DuckDB computes
+    the identical value, so fingerprints compare bit-exactly across
+    engines). Hashing each gram independently is O(k) per gram vs the
+    paper's O(1) rolling update — a constant-factor CPU tradeoff for
+    whole-stage-codegen expressions instead of a Python UDF; ``max_chars``
+    truncates pathological rows (the 100-TB knob: per-row work is
+    bounded by max_chars * k, and one giant document cannot stall its
+    partition)."""
+    txt = F.col(text_col)
+    if max_chars is not None:
+        txt = F.substring(txt, 1, max_chars)
+    n_grams = F.length(txt) - F.lit(k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(txt, i, F.lit(k))), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    n_wins = F.size(F.col("_grams")) - F.lit(window - 1)
+    mins = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda j: F.array_min(F.slice(F.col("_grams"), j, window)),
+        ),
+    ).otherwise(F.col("_grams"))  # shorter than a window: keep all grams
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), grams.alias("_grams"))
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def dedup_keep_canonical(docs: DataFrame, dup_pairs: DataFrame,
                          id_col: str = "doc_id") -> DataFrame:
     """Remove every doc that appears as the larger id of a dup pair

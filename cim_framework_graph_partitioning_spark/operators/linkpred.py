@@ -73,3 +73,57 @@ def adamic_adar_pairs(
     return scored.join(und, ["src_id", "dst_id"], "left_anti").filter(
         F.col("common_neighbors") >= min_common
     )
+
+
+def neighbor_overlap_pairs(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """The full classical neighbor-overlap score family for
+    NON-adjacent pairs src_id < dst_id (Liben-Nowell & Kleinberg 2007
+    survey): common_neighbors, Jaccard |N(a) ∩ N(b)| / |N(a) ∪ N(b)|,
+    resource-allocation sum 1/deg(z) (Zhou et al. 2009), and
+    preferential attachment deg(a) * deg(b).
+
+    Same wedge plan + hub-cap discipline as ``adamic_adar_pairs``;
+    the cap applies to wedge CENTERS only — endpoint degrees for
+    Jaccard/PA are always the full uncapped degrees (a capped
+    denominator would silently change the score definition).
+    """
+    und = _undirected(edges).localCheckpoint(eager=True)
+    deg_full = und.groupBy(F.col("src_id").alias("z")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    centers = deg_full
+    if max_degree is not None:
+        centers = deg_full.filter(F.col("deg") <= max_degree)
+    half = und.select(F.col("src_id").alias("z"), F.col("dst_id").alias("v")).join(
+        centers, "z"
+    )
+    a = half.select("z", F.col("v").alias("src_id"), "deg")
+    b = half.select("z", F.col("v").alias("dst_id"))
+    wedges = a.join(b, "z").filter(F.col("src_id") < F.col("dst_id"))
+    scored = wedges.groupBy("src_id", "dst_id").agg(
+        F.count("*").cast("long").alias("common_neighbors"),
+        F.sum(1.0 / F.col("deg").cast("double")).alias("ra_score"),
+    )
+    da = deg_full.select(F.col("z").alias("src_id"), F.col("deg").alias("deg_a"))
+    db = deg_full.select(F.col("z").alias("dst_id"), F.col("deg").alias("deg_b"))
+    return (
+        scored.join(und, ["src_id", "dst_id"], "left_anti")
+        .filter(F.col("common_neighbors") >= min_common)
+        .join(da, "src_id")
+        .join(db, "dst_id")
+        .select(
+            "src_id",
+            "dst_id",
+            "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+            "ra_score",
+            (F.col("deg_a") * F.col("deg_b")).cast("long").alias("pref_attach"),
+        )
+    )

@@ -2796,6 +2796,314 @@ SELECT start_id, walk_no, step, vertex_id FROM ({allsteps}) u
 ORDER BY start_id, walk_no, step"""
 
 
+def q_katz_3steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three exact truncated-Katz supersteps (operators/centrality.py)
+    on the weighted supplier→part graph: x_{i+1} = beta + alpha * A^T
+    x_i. Oracle = hand-unrolled SQL of the identical update rule;
+    round-9 absorbs sum-order ulp noise (precedent: adamic_adar_top)."""
+    from .operators.centrality import katz_centrality
+
+    e = supplier_part_edges(spark, sf_dir)
+    scores, _ = katz_centrality(
+        spark, e, alpha=0.01, beta=1.0, tol=0.0, max_iter=3
+    )
+    return scores.select("id", F.round("katz", 9).alias("katz")).orderBy("id")
+
+
+def _katz_sql(steps: int, alpha: float = 0.01, beta: float = 1.0) -> str:
+    pre = f"""
+WITH edges AS MATERIALIZED ({_SQL_EDGES}),
+verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges
+                                   UNION ALL SELECT dst_id FROM edges)),
+x0 AS (SELECT id, {beta} AS x FROM verts)"""
+    body = ""
+    for i in range(1, steps + 1):
+        p = i - 1
+        body += f""",
+s{i} AS (SELECT dst_id, sum(x{p}.x * weight) AS s
+        FROM edges JOIN x{p} ON x{p}.id = edges.src_id GROUP BY 1),
+x{i} AS MATERIALIZED (SELECT v.id, {beta} + {alpha} * coalesce(s.s, 0) AS x
+        FROM verts v LEFT JOIN s{i} s ON v.id = s.dst_id)"""
+    return pre + body + f"\nSELECT id, round(x, 9) AS katz FROM x{steps} ORDER BY id"
+
+
+def q_salsa_3steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three exact weighted-SALSA supersteps (operators/centrality.py)
+    on the supplier→part graph. Hub = the step-3 hub distribution;
+    auth = the forward half-step it induces (the operator's documented
+    contract — the oracle replays the same dataflow). Both sides are
+    probability distributions (exact-arithmetic L1 = 1)."""
+    from .operators.centrality import salsa
+
+    e = supplier_part_edges(spark, sf_dir)
+    scores, _ = salsa(spark, e, tol=0.0, max_iter=3)
+    return scores.select(
+        "id",
+        F.round("hub", 12).alias("hub"),
+        F.round("auth", 12).alias("auth"),
+    ).orderBy("id")
+
+
+def _salsa_sql(steps: int) -> str:
+    pre = f"""
+WITH edges AS MATERIALIZED ({_SQL_EDGES}),
+outw AS MATERIALIZED (SELECT src_id, sum(weight) AS wo FROM edges GROUP BY 1),
+inw AS MATERIALIZED (SELECT dst_id, sum(weight) AS wi FROM edges GROUP BY 1),
+efwd AS MATERIALIZED (SELECT src_id, dst_id, weight / wo AS fo
+        FROM edges JOIN outw USING (src_id)),
+ebwd AS MATERIALIZED (SELECT src_id, dst_id, weight / wi AS fi
+        FROM edges JOIN inw USING (dst_id)),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS c
+       FROM (SELECT DISTINCT src_id FROM edges)),
+h0 AS (SELECT DISTINCT src_id AS id, 1.0 / (SELECT c FROM ns) AS hub
+       FROM edges)"""
+    body = ""
+    for i in range(1, steps + 1):
+        p = i - 1
+        body += f""",
+a{i} AS MATERIALIZED (SELECT dst_id AS id, sum(h.hub * fo) AS auth
+        FROM efwd e JOIN h{p} h ON h.id = e.src_id GROUP BY 1),
+h{i} AS MATERIALIZED (SELECT src_id AS id, sum(a.auth * fi) AS hub
+        FROM ebwd e JOIN a{i} a ON a.id = e.dst_id GROUP BY 1)"""
+    # the returned auth is the forward half-step induced by the FINAL
+    # hubs (operator contract) — one more a-step over h{steps}
+    body += f""",
+afin AS (SELECT dst_id AS id, sum(h.hub * fo) AS auth
+        FROM efwd e JOIN h{steps} h ON h.id = e.src_id GROUP BY 1)"""
+    return pre + body + f"""
+SELECT coalesce(h.id, a.id) AS id,
+       round(coalesce(h.hub, 0), 12) AS hub,
+       round(coalesce(a.auth, 0), 12) AS auth
+FROM h{steps} h FULL OUTER JOIN afin a ON h.id = a.id
+ORDER BY id"""
+
+
+def q_closeness_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled per-source closeness (operators/betweenness.py — the
+    batched BFS, (r-1)/sum-distance fold) on the capped order-chain
+    forest, customer sources. Closed form: customer c heads a path of
+    L = min(#orders, 8) orders, so sum d = L(L+1)/2 and closeness =
+    2/(L+1) exactly."""
+    from .operators.betweenness import closeness_centrality_sampled
+
+    o = _read(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_custkey"), F.lit(100)) == 1
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = (
+        o.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 8)
+        .select(
+            "o_custkey", "o_orderkey", "rn",
+            F.lead("o_orderkey").over(
+                Window.partitionBy("o_custkey").orderBy("rn")
+            ).alias("next_key"),
+        )
+    )
+    first = r.filter(F.col("rn") == 1).select(
+        F.col("o_custkey").alias("src_id"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst_id"),
+    )
+    nxt = r.filter(F.col("next_key").isNotNull()).select(
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("src_id"),
+        (F.col("next_key") + ORDER_OFFSET).alias("dst_id"),
+    )
+    e = first.unionByName(nxt).withColumn("weight", F.lit(1.0))
+    srcs = r.select(F.col("o_custkey").alias("id")).distinct()
+    return (
+        closeness_centrality_sampled(spark, e, srcs, max_depth=16)
+        .select("id", F.round("closeness", 6).alias("closeness"))
+        .orderBy("id")
+    )
+
+
+_ORACLE_CLOSENESS = """
+WITH r AS (
+  SELECT o_custkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey % 100 = 1),
+l AS (SELECT o_custkey, count(*) FILTER (WHERE rn <= 8) AS ll
+      FROM r GROUP BY 1)
+SELECT CAST(o_custkey AS BIGINT) AS id,
+       round(2.0 / (ll + 1), 6) AS closeness
+FROM l ORDER BY id
+"""
+
+
+def q_link_scores_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 neighbor-overlap link predictions (operators/linkpred.py
+    — the full classical family: common neighbors, Jaccard,
+    resource-allocation, preferential attachment) on the gate co-part
+    graph, center-degree cap 120. Ordered by (ra_score, src, dst) with
+    round-9 so the LIMIT boundary is deterministic on both engines."""
+    from .operators.linkpred import neighbor_overlap_pairs
+
+    e = co_part_edges(spark, sf_dir, order_mod=3)
+    return (
+        neighbor_overlap_pairs(e, max_degree=120)
+        .select(
+            "src_id", "dst_id", "common_neighbors",
+            F.round("jaccard", 9).alias("jaccard"),
+            F.round("ra_score", 9).alias("ra_score"),
+            "pref_attach",
+        )
+        .orderBy(F.col("ra_score").desc(), "src_id", "dst_id")
+        .limit(50)
+    )
+
+
+_ORACLE_LINK_SCORES = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
+und AS MATERIALIZED (SELECT src_id, dst_id FROM e0
+        UNION SELECT dst_id, src_id FROM e0),
+deg AS MATERIALIZED (SELECT src_id AS z, CAST(count(*) AS BIGINT) AS deg
+        FROM und GROUP BY 1),
+half AS (SELECT u.src_id AS z, u.dst_id AS v, d.deg
+         FROM und u JOIN deg d ON u.src_id = d.z
+         WHERE d.deg <= 120),
+wedges AS (SELECT a.v AS src_id, b.v AS dst_id, a.deg
+           FROM half a JOIN half b ON a.z = b.z AND a.v < b.v),
+scored AS (SELECT src_id, dst_id,
+                  CAST(count(*) AS BIGINT) AS common_neighbors,
+                  sum(1.0 / CAST(deg AS DOUBLE)) AS ra_score
+           FROM wedges GROUP BY 1, 2),
+nonadj AS (SELECT s.* FROM scored s
+           LEFT JOIN und u ON s.src_id = u.src_id AND s.dst_id = u.dst_id
+           WHERE u.src_id IS NULL)
+SELECT n.src_id, n.dst_id, n.common_neighbors,
+       round(CAST(n.common_neighbors AS DOUBLE)
+             / (da.deg + db.deg - n.common_neighbors), 9) AS jaccard,
+       round(n.ra_score, 9) AS ra_score,
+       CAST(da.deg * db.deg AS BIGINT) AS pref_attach
+FROM nonadj n JOIN deg da ON n.src_id = da.z JOIN deg db ON n.dst_id = db.z
+ORDER BY ra_score DESC, n.src_id, n.dst_id LIMIT 50
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (operators/dedup.py — Schleimer
+    et al. 2003: k-gram hash array → window minima → distinct), k=8
+    chars, window=4, over the documents table. The gram hash is the
+    md5-prefix bigint both engines compute identically, so the
+    fingerprint VALUES (not just counts) compare bit-exactly."""
+    from .operators.dedup import winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, window=4).orderBy(
+        "doc_id", "fingerprint"
+    )
+
+
+_ORACLE_WINNOW = """
+WITH g AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(text) - 8 + 2, 1)),
+      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 15))
+                AS BIGINT)) AS grams
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(grams) >= 4
+      THEN list_transform(range(1, len(grams) - 4 + 2),
+             j -> list_min(grams[CAST(j AS INT):CAST(j + 3 AS INT)]))
+      ELSE grams END AS mins
+  FROM g)
+SELECT DISTINCT doc_id, fp AS fingerprint
+FROM (SELECT doc_id, unnest(mins) AS fp FROM m)
+ORDER BY doc_id, fingerprint
+"""
+
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity 3*T/W on the gate co-part graph — the
+    whole-graph companion to the per-vertex clustering coefficient
+    (same triangle machinery, one wedge aggregation more). One row:
+    (n_triangles, n_wedges, transitivity)."""
+    e = co_part_edges(spark, sf_dir, order_mod=3)
+    tri = triangle_count(e)  # (n_triangles) 1-row
+    und = e.select("src_id", "dst_id").unionByName(
+        e.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
+    ).distinct()
+    wed = (
+        und.groupBy("src_id")
+        .agg(F.count("*").alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+        )
+    )
+    return tri.crossJoin(wed).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 9
+        ).alias("transitivity"),
+    )
+
+
+_ORACLE_TRANSITIVITY = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
+und AS MATERIALIZED (SELECT src_id, dst_id FROM e0
+        UNION SELECT dst_id, src_id FROM e0),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e0 a JOIN e0 b ON a.dst_id = b.src_id
+        JOIN e0 c ON c.src_id = a.src_id AND c.dst_id = b.dst_id),
+wed AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        FROM (SELECT count(*) AS d FROM und GROUP BY src_id))
+SELECT n_triangles, n_wedges,
+       round(3.0 * n_triangles / n_wedges, 9) AS transitivity
+FROM tri, wed
+"""
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity on a mixed dependency graph: every
+    supplier→part edge, plus the REVERSE edge for small parts
+    (p_size < 20) — parts feeding back into their suppliers.
+    reciprocity = fraction of edges whose reverse edge also exists.
+    One row: (n_edges, n_reciprocal, reciprocity)."""
+    e = supplier_part_edges(spark, sf_dir).select("src_id", "dst_id")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_size") < 20).select(
+        (F.col("p_partkey") + PART_OFFSET).alias("dst_id")
+    )
+    rev = e.join(part, "dst_id").select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+    g = e.unionByName(rev)
+    gr = g.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
+    recip = g.join(gr, ["src_id", "dst_id"], "left_semi")
+    counts = g.agg(F.count("*").alias("n_edges")).crossJoin(
+        recip.agg(F.count("*").alias("n_reciprocal"))
+    )
+    return counts.select(
+        "n_edges",
+        "n_reciprocal",
+        F.round(
+            F.col("n_reciprocal").cast("double") / F.col("n_edges"), 9
+        ).alias("reciprocity"),
+    )
+
+
+_ORACLE_RECIPROCITY = f"""
+WITH e AS MATERIALIZED ({_SQL_EDGES}),
+small AS (SELECT p_partkey + {PART_OFFSET} AS dst_id FROM part
+          WHERE p_size < 20),
+rev AS (SELECT e.dst_id AS src_id, e.src_id AS dst_id
+        FROM e JOIN small USING (dst_id)),
+g AS MATERIALIZED (SELECT src_id, dst_id FROM e
+        UNION ALL SELECT src_id, dst_id FROM rev),
+recip AS (SELECT count(*) AS n FROM g
+          WHERE EXISTS (SELECT 1 FROM g r
+                        WHERE r.src_id = g.dst_id AND r.dst_id = g.src_id))
+SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_edges,
+       CAST((SELECT n FROM recip) AS BIGINT) AS n_reciprocal,
+       round(CAST((SELECT n FROM recip) AS DOUBLE)
+             / (SELECT count(*) FROM g), 9) AS reciprocity
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2838,6 +3146,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _biased_walks_sql(4, num_walks=2, seed=7, wr=1, wc=4, wf=2),
     ),
     "scc_dag_pipeline": (q_scc_dag_pipeline, _ORACLE_SCC_DAG_PIPELINE),
+    "katz_3steps": (q_katz_3steps, _katz_sql(3)),
+    "salsa_3steps": (q_salsa_3steps, _salsa_sql(3)),
+    "closeness_chains": (q_closeness_chains, _ORACLE_CLOSENESS),
+    "link_scores_top": (q_link_scores_top, _ORACLE_LINK_SCORES),
+    "winnow_fingerprints": (q_winnow_fingerprints, _ORACLE_WINNOW),
+    "transitivity": (q_transitivity, _ORACLE_TRANSITIVITY),
+    "reciprocity": (q_reciprocity, _ORACLE_RECIPROCITY),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),
@@ -2899,7 +3214,8 @@ _GATE_ORDER = [
     "doc_token_stats", "doc_punct_ratio", "doc_quality",
     "bm25_topk", "stratified_sample",
     "exact_dedup_pairs", "lang_id_counts", "media_features",
-    "media_frame_sample", "embedding_topk",
+    "media_frame_sample", "embedding_topk", "winnow_fingerprints",
+    "reciprocity",
     # ~1-10s: one-shot graph / dedup / ANN
     "token_jaccard_pairs", "simhash_near_dups", "minhash_near_dups",
     "dedup_clusters", "corpus_curation", "embedding_near_dups",
@@ -2907,12 +3223,14 @@ _GATE_ORDER = [
     "top_depended_parts",
     "degree_distribution", "frontier_indegree0", "graph_contraction",
     "triangle_count", "clustering_coeff", "adamic_adar_top",
+    "link_scores_top", "transitivity",
     "assortativity", "modularity_parts",
     "corpus_edges", "chain_decomposition",
     # ~5-30s: shallow iterative
     "lpa_2steps", "lpa_1step", "lpa_anchored", "pagerank_converged",
     "mis_greedy", "betweenness_chains", "harmonic_chains",
-    "eccentricity_chains",
+    "eccentricity_chains", "closeness_chains",
+    "katz_3steps", "salsa_3steps",
     "random_walks", "biased_walks",
     "sssp_parts", "balanced_partition",
     # heavies: deep fixpoints / peels

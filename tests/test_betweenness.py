@@ -194,3 +194,48 @@ def test_eccentricity_matches_python_bfs(spark, seed):
                     q.append(w)
         want[s] = max(dist.values())
     assert got == want
+
+
+def test_closeness_directed_path(spark):
+    from cim_framework_graph_partitioning_spark.operators.betweenness import (
+        closeness_centrality_sampled,
+    )
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    got = {r.id: r.closeness for r in
+           closeness_centrality_sampled(spark, _edges_df(spark, pairs),
+                                        _src_df(spark, [0, 2, 3])).collect()}
+    # 0 reaches 3 others at distances 1+2+3=6 -> 3/6; 2 reaches one at 1;
+    # 3 reaches nothing -> 0.0 by contract
+    assert got == {0: pytest.approx(0.5), 2: pytest.approx(1.0), 3: 0.0}
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_closeness_matches_python_bfs(spark, seed):
+    from cim_framework_graph_partitioning_spark.operators.betweenness import (
+        closeness_centrality_sampled,
+    )
+    rng = random.Random(seed)
+    pairs = sorted({(rng.randrange(20), rng.randrange(20)) for _ in range(70)}
+                   - {(i, i) for i in range(20)})
+    sources = [0, 7, 13]
+    got = {r.id: r.closeness for r in
+           closeness_centrality_sampled(spark, _edges_df(spark, pairs),
+                                        _src_df(spark, sources)).collect()}
+    adj = defaultdict(list)
+    for u, v in pairs:
+        adj[u].append(v)
+    want = {}
+    for s in sources:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        total = sum(dist.values())
+        want[s] = (len(dist) - 1) / total if total > 0 else 0.0
+    assert set(got) == set(want)
+    for s, c in want.items():
+        assert got[s] == pytest.approx(c, rel=1e-12)

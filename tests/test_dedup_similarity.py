@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import hashlib
 import itertools
 import math
 
@@ -351,3 +352,65 @@ def test_ivf_fit_sample_partitioning_invariant(spark):
     a = run(emb.coalesce(1))
     b = run(emb.repartition(7, "vec_id"))
     assert a == b
+
+
+def _winnow_oracle(text, k, w):
+    """Scalar winnowing replay: md5-prefix gram hashes, window minima."""
+    grams = [int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:15], 16)
+             for i in range(len(text) - k + 1)]
+    if not grams:
+        return set()
+    if len(grams) < w:
+        return set(grams)
+    return {min(grams[j:j + w]) for j in range(len(grams) - w + 1)}
+
+
+def test_winnow_matches_scalar_oracle(spark):
+    from cim_framework_graph_partitioning_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "pack my box with five dozen liquor jugs",
+        3: "short",      # fewer grams than a window: all grams kept
+        4: "xy",         # shorter than k: no fingerprints at all
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = winnow_fingerprints(docs, k=7, window=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    for d, t in texts.items():
+        assert got.get(d, set()) == _winnow_oracle(t, 7, 3), d
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    from cim_framework_graph_partitioning_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    # the winnowing guarantee: any common substring of length
+    # >= k + window - 1 forces at least one shared fingerprint
+    k, w = 6, 4
+    shared = "ABCDEFGHIJ"  # length 10 >= 6 + 4 - 1
+    docs = spark.createDataFrame(
+        [(1, "xxxx" + shared + "yyyyyy"), (2, "qqqqqqq" + shared + "zz")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs, k=k, window=w).collect()
+    s1 = {r.fingerprint for r in rows if r.doc_id == 1}
+    s2 = {r.fingerprint for r in rows if r.doc_id == 2}
+    assert s1 & s2
+
+
+def test_winnow_max_chars_bounds_work(spark):
+    from cim_framework_graph_partitioning_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 50)], "doc_id long, text string"
+    )
+    full = winnow_fingerprints(docs, k=5, window=3).collect()
+    capped = winnow_fingerprints(docs, k=5, window=3, max_chars=20).collect()
+    want = _winnow_oracle("abcdefghij" * 2, 5, 3)
+    assert {r.fingerprint for r in capped} == want
+    assert len(capped) <= len(full)

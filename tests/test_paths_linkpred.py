@@ -126,3 +126,69 @@ def test_adamic_adar_plan_reuses_materialized_und(spark):
     # and the result is still correct after the lifecycle change
     got = {(r.src_id, r.dst_id): r.common_neighbors for r in out.collect()}
     assert got[(3, 4)] == 1 and (1, 2) not in got
+
+
+def _overlap_oracle(pairs, max_degree=None):
+    """Brute-force neighbor-overlap family on the undirected graph."""
+    nbrs = {}
+    for u, v in pairs:
+        if u != v:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+    out = {}
+    verts = sorted(nbrs)
+    for i, a in enumerate(verts):
+        for b in verts[i + 1:]:
+            if b in nbrs[a]:
+                continue
+            common = nbrs[a] & nbrs[b]
+            if max_degree is not None:
+                common = {z for z in common if len(nbrs[z]) <= max_degree}
+            if not common:
+                continue
+            cn = len(common)
+            out[(a, b)] = (
+                cn,
+                cn / (len(nbrs[a]) + len(nbrs[b]) - cn),
+                sum(1.0 / len(nbrs[z]) for z in common),
+                len(nbrs[a]) * len(nbrs[b]),
+            )
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_neighbor_overlap_matches_bruteforce(spark, seed):
+    from cim_framework_graph_partitioning_spark.operators.linkpred import (
+        neighbor_overlap_pairs,
+    )
+    triples = _random_weighted(seed, n=25, m=80)
+    res = neighbor_overlap_pairs(_edges_df(spark, triples)).collect()
+    got = {(r.src_id, r.dst_id):
+           (r.common_neighbors, r.jaccard, r.ra_score, r.pref_attach)
+           for r in res}
+    want = _overlap_oracle([(u, v) for u, v, _ in triples])
+    assert set(got) == set(want)
+    for k, (cn, jac, ra, pa) in want.items():
+        assert got[k][0] == cn, k
+        assert math.isclose(got[k][1], jac, rel_tol=1e-12), k
+        assert math.isclose(got[k][2], ra, rel_tol=1e-12), k
+        assert got[k][3] == pa, k
+
+
+def test_neighbor_overlap_cap_keeps_full_endpoint_degrees(spark):
+    from cim_framework_graph_partitioning_spark.operators.linkpred import (
+        neighbor_overlap_pairs,
+    )
+    # star center 0 (deg 5) + path 1-6-2: capping centers at deg<=2
+    # kills wedges THROUGH 0, but pairs via 6 keep the full
+    # (uncapped) endpoint degrees in jaccard/pref_attach
+    triples = [(0, i, 1.0) for i in range(1, 6)] + [(1, 6, 1.0), (6, 2, 1.0)]
+    got = {(r.src_id, r.dst_id):
+           (r.common_neighbors, r.jaccard, r.pref_attach)
+           for r in neighbor_overlap_pairs(
+               _edges_df(spark, triples), max_degree=2).collect()}
+    want = _overlap_oracle([(u, v) for u, v, _ in triples], max_degree=2)
+    assert set(got) == set(want)
+    # the 1-2 pair survives via center 6 (deg 2): deg(1)=deg(2)=2 full
+    assert got[(1, 2)][0] == 1
+    assert got[(1, 2)][2] == 4  # 2 * 2, uncapped endpoint degrees
