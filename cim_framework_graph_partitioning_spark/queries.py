@@ -3104,6 +3104,138 @@ SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_edges,
 """
 
 
+def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy graph coloring (operators/coloring.py — Jones-Plassmann
+    priority rounds ≡ the sequential greedy in salted-hash order) on
+    the order-chain forest (custkey ≡ 1 mod 20, chains capped at 8).
+    The oracle replays the SEQUENTIAL greedy per-vertex in a recursive
+    CTE — valid because the parallel fixpoint provably computes the
+    same coloring (module docstring); general-graph equivalence is
+    pytest territory (`test_coloring.py` random graphs)."""
+    from .operators.coloring import greedy_coloring
+
+    o = _read(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_custkey"), F.lit(20)) == 1
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = (
+        o.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 8)
+        .select(
+            "o_custkey", "o_orderkey", "rn",
+            F.lead("o_orderkey").over(
+                Window.partitionBy("o_custkey").orderBy("rn")
+            ).alias("next_key"),
+        )
+    )
+    first = r.filter(F.col("rn") == 1).select(
+        F.col("o_custkey").alias("src_id"),
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("dst_id"),
+    )
+    nxt = r.filter(F.col("next_key").isNotNull()).select(
+        (F.col("o_orderkey") + ORDER_OFFSET).alias("src_id"),
+        (F.col("next_key") + ORDER_OFFSET).alias("dst_id"),
+    )
+    e = first.unionByName(nxt).withColumn("weight", F.lit(1.0))
+    coloring, _ = greedy_coloring(spark, e, seed=42, hash_family="md5")
+    return coloring.orderBy("id")
+
+
+_ORACLE_COLORING = f"""
+WITH RECURSIVE r0 AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey % 20 = 1),
+r AS MATERIALIZED (
+  SELECT o_custkey, o_orderkey, rn,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY rn)
+           AS next_key
+  FROM r0 WHERE rn <= 8),
+e0 AS MATERIALIZED (
+  SELECT o_custkey AS src_id, o_orderkey + {ORDER_OFFSET} AS dst_id
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT o_orderkey + {ORDER_OFFSET}, next_key + {ORDER_OFFSET}
+  FROM r WHERE next_key IS NOT NULL),
+und AS MATERIALIZED (
+  SELECT src_id AS a, dst_id AS b FROM e0 WHERE src_id != dst_id
+  UNION SELECT dst_id, src_id FROM e0 WHERE src_id != dst_id),
+verts AS MATERIALIZED (SELECT DISTINCT a AS id FROM und),
+prio AS MATERIALIZED (
+  SELECT id,
+         CAST(('0x' || substr(md5('42:' || CAST(id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM verts),
+ord AS MATERIALIZED (
+  SELECT id, row_number() OVER (ORDER BY h, id) AS rk FROM prio),
+nbrs AS MATERIALIZED (SELECT a AS id, list(b) AS ns FROM und GROUP BY 1),
+steps(rk, ids, cols) AS (
+  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS INT[])
+  UNION ALL
+  SELECT o.rk, list_append(s.ids, o.id),
+         list_append(s.cols,
+           CAST(list_min(list_filter(range(0, len(u.used) + 2),
+                                     c -> NOT list_contains(u.used, c)))
+                AS INT))
+  FROM steps s
+  JOIN ord o ON o.rk = s.rk + 1
+  LEFT JOIN nbrs n ON n.id = o.id,
+  LATERAL (SELECT list_transform(
+             list_filter(range(1, len(s.ids) + 1),
+                         i -> list_contains(coalesce(n.ns,
+                                                     CAST([] AS BIGINT[])),
+                                            s.ids[CAST(i AS INT)])),
+             i -> s.cols[CAST(i AS INT)]) AS used) u),
+final AS MATERIALIZED (SELECT ids, cols FROM steps ORDER BY rk DESC LIMIT 1)
+SELECT v.id, f.cols[CAST(list_position(f.ids, v.id) AS INT)] AS color
+FROM verts v CROSS JOIN final f ORDER BY v.id
+"""
+
+
+def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language KMV distinct-token estimate over the documents
+    table (operators/sketches.py — k=64 minimum md5-prefix hashes;
+    deterministic, so the 'approximate' estimate replays bit-exactly:
+    same synopsis boundary hash, same estimate on both engines)."""
+    from .operators.dedup import tokens_col
+    from .operators.sketches import kmv_distinct
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokens_col()).alias("tok"))
+    return (
+        kmv_distinct(toks, ["lang"], "tok", k=64, seed=9, hash_family="md5")
+        .select(
+            "lang", "n_hashes", "kth_hash",
+            F.round("est_distinct", 6).alias("est_distinct"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_KMV = """
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT DISTINCT lang,
+         CAST(('0x' || substr(md5('9:' || tok), 1, 15)) AS BIGINT) AS h
+  FROM toks),
+ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+  FROM hashed)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_hashes,
+       max(CASE WHEN r = 64 THEN h END) AS kth_hash,
+       round(CASE WHEN max(CASE WHEN r = 64 THEN h END) IS NOT NULL
+                  THEN 63.0 / ((max(CASE WHEN r = 64 THEN h END) + 1)
+                               / 1152921504606846976.0)
+                  ELSE CAST(count(*) AS DOUBLE) END, 6) AS est_distinct
+FROM ranked WHERE r <= 64 GROUP BY lang ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3153,6 +3285,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "winnow_fingerprints": (q_winnow_fingerprints, _ORACLE_WINNOW),
     "transitivity": (q_transitivity, _ORACLE_TRANSITIVITY),
     "reciprocity": (q_reciprocity, _ORACLE_RECIPROCITY),
+    "graph_coloring": (q_graph_coloring, _ORACLE_COLORING),
+    "kmv_distinct_tokens": (q_kmv_distinct_tokens, _ORACLE_KMV),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),
@@ -3215,7 +3349,7 @@ _GATE_ORDER = [
     "bm25_topk", "stratified_sample",
     "exact_dedup_pairs", "lang_id_counts", "media_features",
     "media_frame_sample", "embedding_topk", "winnow_fingerprints",
-    "reciprocity",
+    "reciprocity", "kmv_distinct_tokens",
     # ~1-10s: one-shot graph / dedup / ANN
     "token_jaccard_pairs", "simhash_near_dups", "minhash_near_dups",
     "dedup_clusters", "corpus_curation", "embedding_near_dups",
@@ -3230,7 +3364,7 @@ _GATE_ORDER = [
     "lpa_2steps", "lpa_1step", "lpa_anchored", "pagerank_converged",
     "mis_greedy", "betweenness_chains", "harmonic_chains",
     "eccentricity_chains", "closeness_chains",
-    "katz_3steps", "salsa_3steps",
+    "katz_3steps", "salsa_3steps", "graph_coloring",
     "random_walks", "biased_walks",
     "sssp_parts", "balanced_partition",
     # heavies: deep fixpoints / peels

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -93,3 +95,72 @@ def test_sample_rejects_bad_fraction(spark):
         sample_fraction(df, 1.5)
     with pytest.raises(ValueError):
         stratified_sample(df.withColumn("s", F.lit("a")), "s", {"a": -0.1})
+
+
+# --- KMV distinct sketch (operators/sketches.py) -------------------------
+
+def _kmv_replay(values, k, seed):
+    hs = sorted({int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:15], 16)
+                 for v in values})
+    if len(hs) < k:
+        return len(hs), None, float(len(hs))
+    kth = hs[k - 1]
+    return k, kth, (k - 1) / ((kth + 1) / float(1 << 60))
+
+
+def test_kmv_matches_md5_replay(spark):
+    from cim_framework_graph_partitioning_spark.operators.sketches import (
+        kmv_distinct,
+    )
+    rows = [("a", f"v{i % 300}") for i in range(900)] + [
+        ("b", f"w{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = {r.grp: (r.n_hashes, r.kth_hash, r.est_distinct)
+           for r in kmv_distinct(df, ["grp"], "v", k=64, seed=3,
+                                 hash_family="md5").collect()}
+    for grp, values in (("a", [f"v{i}" for i in range(300)]),
+                        ("b", [f"w{i}" for i in range(40)])):
+        n, kth, est = _kmv_replay(values, 64, 3)
+        assert got[grp][0] == n, grp
+        assert got[grp][1] == kth, grp
+        assert got[grp][2] == pytest.approx(est, rel=1e-12), grp
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    from cim_framework_graph_partitioning_spark.operators.sketches import (
+        kmv_distinct,
+    )
+    k, true_n = 256, 5000
+    df = spark.createDataFrame([("g", f"item{i}") for i in range(true_n)],
+                               "grp string, v string")
+    est = kmv_distinct(df, ["grp"], "v", k=k, seed=1).collect()[0].est_distinct
+    # standard error ~ 1/sqrt(k-2); allow 5 sigma
+    assert abs(est - true_n) / true_n < 5 / (k - 2) ** 0.5
+
+
+def test_kmv_salted_phases_match_single_window(spark):
+    from cim_framework_graph_partitioning_spark.operators.sketches import (
+        kmv_distinct,
+    )
+    df = spark.createDataFrame([("g", f"x{i}") for i in range(500)],
+                               "grp string, v string")
+    a = kmv_distinct(df, ["grp"], "v", k=32, seed=7, salt_buckets=1).collect()
+    b = kmv_distinct(df, ["grp"], "v", k=32, seed=7, salt_buckets=64).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_kmv_merge_property(spark):
+    # the sketch of a union equals the min-k merge of the two sketches:
+    # estimate over A union B == estimate computed from union directly
+    from cim_framework_graph_partitioning_spark.operators.sketches import (
+        kmv_distinct,
+    )
+    rows_a = [("g", f"a{i}") for i in range(200)]
+    rows_b = [("g", f"b{i}") for i in range(200)]
+    u = kmv_distinct(
+        spark.createDataFrame(rows_a + rows_b, "grp string, v string"),
+        ["grp"], "v", k=64, seed=5, hash_family="md5").collect()[0]
+    n, kth, est = _kmv_replay([v for _, v in rows_a + rows_b], 64, 5)
+    assert (u.n_hashes, u.kth_hash) == (n, kth)
+    assert u.est_distinct == pytest.approx(est, rel=1e-12)
