@@ -96,6 +96,7 @@ def pagerank(
     run_id: str = "pagerank",
     metrics_sink: list | None = None,
     sources: DataFrame | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Returns (ranks(id, rank), supersteps_run). Ranks sum to 1.
 
@@ -108,7 +109,17 @@ def pagerank(
     all vertices; the initial rank vector is uniform over the sources.
     Source ids absent from the graph's vertex set are ignored. The
     source set is assumed broadcast-small (it is a user-picked seed
-    set, not a data-scale table)."""
+    set, not a data-scale table).
+
+    ``init_ranks``: optional (id, rank) WARM START — e.g. the converged
+    ranks of a slightly older edge snapshot (incremental recompute
+    after a crawl delta: the fixpoint is unique, so the result is the
+    same, but a close init cuts the superstep count roughly in half
+    per order of magnitude of initial closeness). Ids absent from the
+    current vertex set are dropped, new vertices start at 0, and the
+    vector is L1-renormalized IN-PLAN (power iteration preserves sum=1,
+    so the invariant must hold at step 0); an all-zero/empty init
+    falls back to the uniform start."""
     sc = spark.sparkContext
     if num_blocks is None:
         # one count of the input edge table (usually caller-cached or a
@@ -168,6 +179,29 @@ def pagerank(
         F.when(F.col("in_s"), F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias("rank"),
         "has_out",
     )
+    if init_ranks is not None:
+        r0 = init_ranks.select(
+            F.col(init_ranks.columns[0]).alias("id"),
+            F.col(init_ranks.columns[1]).cast("double").alias("_r0"),
+        )
+        warm = verts.join(r0, "id", "left").select(
+            "id",
+            F.coalesce(F.col("_r0"), F.lit(0.0)).alias("_r0"),
+            "in_s",
+            "has_out",
+        )
+        # L1-renormalize in-plan (1-row broadcast agg, no driver collect);
+        # degenerate all-zero init falls back to the uniform start
+        tot = F.broadcast(warm.agg(F.sum("_r0").alias("_tot")))
+        init = warm.crossJoin(tot).select(
+            "id",
+            F.when(F.col("_tot") > 0.0, F.col("_r0") / F.col("_tot"))
+            .otherwise(
+                F.when(F.col("in_s"), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
+            )
+            .alias("rank"),
+            "has_out",
+        )
 
     import os as _os
     import time as _time

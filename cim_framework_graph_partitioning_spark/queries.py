@@ -3236,6 +3236,99 @@ FROM ranked WHERE r <= 64 GROUP BY lang ORDER BY lang
 """
 
 
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Weisfeiler-Leman refinement rounds (operators/wl.py —
+    commutative hash-sum multiset digests, the md5 bridge) on the gate
+    co-part graph. Colors are pure hash values, so the oracle replays
+    them bit-exactly; stability-stop control flow and the C6-vs-2C3
+    indistinguishability classic are pytest territory
+    (`test_wl.py`)."""
+    from .operators.wl import wl_refinement
+
+    e = co_part_edges(spark, sf_dir, order_mod=3)
+    colors, _ = wl_refinement(spark, e, rounds=2)
+    return colors.orderBy("id")
+
+
+_WL_G = ("CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT)")
+
+
+def _wl_sql(rounds: int) -> str:
+    pre = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
+und AS MATERIALIZED (
+  SELECT src_id AS a, dst_id AS b FROM e0 WHERE src_id != dst_id
+  UNION SELECT dst_id, src_id FROM e0 WHERE src_id != dst_id),
+deg AS (SELECT a AS id, count(*) AS d FROM und GROUP BY 1),
+c0 AS MATERIALIZED (SELECT id, {_WL_G.format(x='d')} AS color FROM deg)"""
+    body = ""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        body += f""",
+s{i} AS (SELECT u.a AS id,
+               CAST(sum(CAST({_WL_G.format(x='c.color')} AS HUGEINT))
+                    % 1152921504606846976 AS BIGINT) AS msum
+        FROM und u JOIN c{p} c ON c.id = u.b GROUP BY 1),
+c{i} AS MATERIALIZED (
+  SELECT c.id,
+         {_WL_G.format(x="c.color || ':' || coalesce(s.msum, 0)")} AS color
+  FROM c{p} c LEFT JOIN s{i} s ON c.id = s.id)"""
+    return pre + body + f"\nSELECT id, color FROM c{rounds} ORDER BY id"
+
+
+def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact PageRank supersteps from a NON-uniform warm start
+    (init_ranks — the incremental-recompute path: resume from an older
+    snapshot's converged ranks after a crawl delta). Init = weight
+    1 + (id mod 3) per vertex, L1-renormalized in-plan; the oracle
+    replays the same init + unroll. Convergence-equivalence (warm
+    fixpoint == cold fixpoint) is pytest territory."""
+    e = supplier_part_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src_id").alias("id"))
+        .unionByName(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    init = verts.select(
+        "id", (F.lit(1.0) + F.pmod(F.col("id"), F.lit(3))).alias("rank")
+    )
+    ranks, _ = pagerank(
+        spark, e, damping=0.85, tol=0.0, max_iter=2, init_ranks=init
+    )
+    return ranks.select("id", F.round("rank", 12).alias("rank")).orderBy("id")
+
+
+def _pagerank_warm_sql(steps: int) -> str:
+    pre = f"""
+WITH edges AS MATERIALIZED ({_SQL_EDGES}),
+verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src_id AS id FROM edges
+                                   UNION ALL SELECT dst_id FROM edges)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts),
+outw AS (SELECT src_id, sum(weight) AS wo FROM edges GROUP BY 1),
+norm AS MATERIALIZED (SELECT src_id, dst_id, weight / wo AS frac
+         FROM edges JOIN outw USING (src_id)),
+w0 AS (SELECT id, 1.0 + (id % 3) AS w FROM verts),
+tot AS (SELECT sum(w) AS t FROM w0),
+r0 AS (SELECT id, w / (SELECT t FROM tot) AS rank FROM w0)"""
+    body = ""
+    for i in range(1, steps + 1):
+        p = i - 1
+        body += f""",
+d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{p}
+        WHERE id NOT IN (SELECT src_id FROM outw)),
+s{i} AS (SELECT dst_id, sum(r{p}.rank * frac) AS s
+        FROM norm JOIN r{p} ON r{p}.id = norm.src_id GROUP BY 1),
+r{i} AS (SELECT v.id,
+               0.15 / (SELECT c FROM nn)
+               + 0.85 * ((SELECT dm FROM d{i}) / (SELECT c FROM nn)
+                         + coalesce(s.s, 0)) AS rank
+        FROM verts v LEFT JOIN s{i} s ON v.id = s.dst_id)"""
+    return (
+        pre + body
+        + f"\nSELECT id, round(rank, 12) AS rank FROM r{steps} ORDER BY id"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3287,6 +3380,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "reciprocity": (q_reciprocity, _ORACLE_RECIPROCITY),
     "graph_coloring": (q_graph_coloring, _ORACLE_COLORING),
     "kmv_distinct_tokens": (q_kmv_distinct_tokens, _ORACLE_KMV),
+    "wl_colors": (q_wl_colors, _wl_sql(2)),
+    "pagerank_warm": (q_pagerank_warm, _pagerank_warm_sql(2)),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),
@@ -3364,7 +3459,8 @@ _GATE_ORDER = [
     "lpa_2steps", "lpa_1step", "lpa_anchored", "pagerank_converged",
     "mis_greedy", "betweenness_chains", "harmonic_chains",
     "eccentricity_chains", "closeness_chains",
-    "katz_3steps", "salsa_3steps", "graph_coloring",
+    "katz_3steps", "salsa_3steps", "graph_coloring", "wl_colors",
+    "pagerank_warm",
     "random_walks", "biased_walks",
     "sssp_parts", "balanced_partition",
     # heavies: deep fixpoints / peels

@@ -4,6 +4,7 @@ import math
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from cim_framework_graph_partitioning_spark.operators.components import (
     connected_components,
@@ -302,3 +303,36 @@ def test_pagerank_on_derived_corpus_graph(spark):
     rows = sorted(ranks.collect(), key=lambda r: -r.rank)
     assert steps < 60  # converged
     assert rows[0].rank > 20 * rows[len(rows) // 2].rank  # hub dominates
+
+
+def test_pagerank_warm_start_same_fixpoint_fewer_steps(spark):
+    # init_ranks (incremental recompute): fixpoint is unique, so a warm
+    # start must land on the cold result — and starting FROM the cold
+    # result must converge immediately
+    triples = _random_edges(21, n=30, m=90)
+    df = _edges_df(spark, triples)
+    cold, cold_steps = pagerank(spark, df, tol=1e-10)
+    warm, warm_steps = pagerank(spark, df, tol=1e-10, init_ranks=cold)
+    cr = {r.id: r.rank for r in cold.collect()}
+    wr = {r.id: r.rank for r in warm.collect()}
+    assert max(abs(cr[k] - wr[k]) for k in cr) < 1e-8
+    assert warm_steps < cold_steps
+    # skewed-but-valid init also reaches the same fixpoint
+    skew = df.select(F.col("src_id").alias("id")).union(
+        df.select("dst_id")).distinct().select(
+        "id", (1.0 + F.pmod(F.col("id"), F.lit(5))).alias("rank"))
+    got, _ = pagerank(spark, df, tol=1e-10, init_ranks=skew)
+    gr = {r.id: r.rank for r in got.collect()}
+    assert max(abs(cr[k] - gr[k]) for k in cr) < 1e-8
+
+
+def test_pagerank_warm_start_zero_init_falls_back_uniform(spark):
+    triples = _random_edges(22, n=15, m=40)
+    df = _edges_df(spark, triples)
+    zeros = df.select(F.col("src_id").alias("id")).union(
+        df.select("dst_id")).distinct().select("id", F.lit(0.0).alias("rank"))
+    a, sa = pagerank(spark, df, tol=0.0, max_iter=2, init_ranks=zeros)
+    b, sb = pagerank(spark, df, tol=0.0, max_iter=2)
+    ar = {r.id: r.rank for r in a.collect()}
+    br = {r.id: r.rank for r in b.collect()}
+    assert ar == br
