@@ -70,6 +70,9 @@ from cim_framework_graph_partitioning_spark.operators.triangles import (  # noqa
     local_clustering_coefficient,
     triangle_count,
 )
+from cim_framework_graph_partitioning_spark.operators.wl import (  # noqa: E402
+    wl_refinement,
+)
 from cim_framework_graph_partitioning_spark.queries import (  # noqa: E402
     q_embedding_topk,
     q_events_sessions,
@@ -173,6 +176,12 @@ def main() -> None:
         lambda: maximal_independent_set(spark, edges)[1],
     )
     extra["mis_supersteps"] = mis_outs[0]
+    # round 5: two WL refinement rounds (commutative hash-sum multiset
+    # digests — expect ~1x a PageRank step per round)
+    timed(
+        "wl_corpus_2rounds",
+        lambda: wl_refinement(spark, edges, rounds=2)[0].count(),
+    )
     edges.unpersist()
 
     # --- testdata-table headliners ---------------------------------------

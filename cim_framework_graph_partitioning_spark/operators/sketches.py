@@ -109,3 +109,116 @@ def kmv_distinct(
             .alias("est_distinct"),
         )
     )
+
+
+def _id_hash(col: F.Column, seed: int, hash_family: str) -> F.Column:
+    return _value_hash(col, seed, hash_family)
+
+
+def neighborhood_sketches(
+    spark,
+    edges: DataFrame,
+    t: int,
+    k: int = 32,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+    num_blocks: int | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """HyperBall-style neighborhood function via KMV sketches (Boldi,
+    Rosa & Vigna 2011 — with the deterministic k-minimum-values synopsis
+    in place of HyperLogLog, keeping the engine's exact-replay
+    discipline): after round i, each vertex holds the min-k hash
+    synopsis of its distance-<=i ball on the UNDIRECTED graph, giving
+    |Ball(v, t)| estimates for every vertex at once — the building
+    block for effective-diameter / median-distance estimation, at a
+    cost of t supersteps instead of |V| BFS runs.
+
+    Per round, sketch(v) <- min-k over {sketch(v)} union
+    {sketch(u): u in N(v)} — min-k union is associative/commutative
+    (the KMV merge property), so the aggregation runs as a TWO-PHASE
+    salted merge: partial min-k per (vertex, salt-of-neighbor), final
+    min-k per vertex over <= salt_buckets partials. A degree-10^6 hub
+    therefore merges 10^6 k-arrays in salt_buckets-bounded pieces,
+    never in one task; each phase is flatten -> sort -> distinct ->
+    slice(k) on arrays of <= (group size) * k longs.
+
+    Returns (id, n_sk, kth_hash, est_ball) — ball-size estimate per
+    vertex, exact (n_sk) when the true ball has < k vertices. Every
+    value is a pure function of (graph, seed): bit-replayable.
+    """
+    from ..plans.barrier import release_checkpoint
+    from ..plans.scale import auto_blocks
+    from .kcore import undirected_edges
+
+    p = num_blocks or auto_blocks(
+        edges.count(), spark.sparkContext.defaultParallelism
+    )
+    und = (
+        undirected_edges(edges)
+        .select(F.col("src_id").alias("e_v"), F.col("dst_id").alias("e_u"))
+        .repartition(p, "e_u")
+        .persist()
+    )
+    und.count()
+    verts = (
+        edges.select(F.col("src_id").alias("id"))
+        .unionByName(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    state = (
+        verts.select(
+            "id",
+            F.array(_id_hash(F.col("id"), seed, hash_family)).alias("sk"),
+        )
+        .repartition(p, "id")
+        .localCheckpoint(eager=True)
+    )
+
+    def merge_col(col: F.Column) -> F.Column:
+        return F.slice(
+            F.array_distinct(F.array_sort(F.flatten(col))), 1, k
+        )
+
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        for _round in range(t):
+            s = state.hint("shuffle_hash")
+            nbr = s.join(und, s.id == und.e_u).select(
+                F.col("e_v").alias("id"),
+                "sk",
+                F.pmod(F.xxhash64(F.col("e_u")), F.lit(salt_buckets)).alias(
+                    "_salt"
+                ),
+            )
+            partial = nbr.groupBy("id", "_salt").agg(
+                merge_col(F.collect_list("sk")).alias("sk")
+            )
+            merged = (
+                partial.select("id", "sk")
+                .unionByName(state.select("id", "sk"))
+                .groupBy("id")
+                .agg(merge_col(F.collect_list("sk")).alias("sk"))
+            )
+            new_state = merged.localCheckpoint(eager=True)
+            release_checkpoint(state)
+            state = new_state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
+    und.unpersist()
+
+    n_sk = F.size("sk")
+    kth = F.when(n_sk >= k, F.element_at("sk", k))
+    return state.select(
+        "id",
+        n_sk.cast("long").alias("n_sk"),
+        kth.alias("kth_hash"),
+        F.when(
+            kth.isNotNull(),
+            F.lit(float(k - 1))
+            / ((kth + F.lit(1)).cast("double") / F.lit(_HASH_SPACE)),
+        )
+        .otherwise(n_sk.cast("double"))
+        .alias("est_ball"),
+    )

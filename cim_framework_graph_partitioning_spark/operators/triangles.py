@@ -123,3 +123,49 @@ def _closed_wedges(und: DataFrame) -> DataFrame:
     wedges = e1.join(e2, "b")
     closing = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
     return wedges.join(closing, ["a", "c"], "left_semi")
+
+
+def approx_triangle_count(
+    edges: DataFrame,
+    p_num: int = 1,
+    p_den: int = 4,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """DOULION (Tsourakakis et al., KDD 2009): triangle estimation by
+    edge sparsification — keep each undirected edge with probability
+    p = p_num/p_den, count triangles in the sample, scale by 1/p^3
+    (unbiased; variance vanishes as the true count grows). Here the
+    coin is a DETERMINISTIC hash of the canonical (min, max) endpoint
+    pair (the stratified-sampling discipline, operators/sampling.py):
+    the estimate is a pure function of (graph, seed), reproducible
+    across runs, partitionings, and engines (md5 bridge).
+
+    The 100-TB story: the exact count's wedge join costs
+    sum(oriented-out-degree^2); sampling at p cuts edges by p and
+    wedge work by ~p^2 BEFORE the join (the filter sits on the scan),
+    for a (1/p^3-scaled) estimate whose relative error is
+    O(1/sqrt(p^3 * T)). Returns one row:
+    (n_sampled_triangles, est_triangles)."""
+    if hash_family == "xxhash64":
+        h = F.xxhash64(
+            F.lit(seed),
+            F.least("src_id", "dst_id"),
+            F.greatest("src_id", "dst_id"),
+        )
+    elif hash_family == "md5":
+        s = F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            F.least("src_id", "dst_id").cast("string"),
+            F.greatest("src_id", "dst_id").cast("string"),
+        )
+        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    sampled = edges.filter(F.pmod(h, F.lit(p_den)) < p_num)
+    scale = (p_den / p_num) ** 3
+    return triangle_count(sampled).select(
+        F.col("n_triangles").alias("n_sampled_triangles"),
+        (F.col("n_triangles") * F.lit(float(scale))).alias("est_triangles"),
+    )

@@ -3329,6 +3329,84 @@ r{i} AS (SELECT v.id,
     )
 
 
+def q_approx_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION triangle estimate (operators/triangles.py) at p = 1/3
+    on the gate co-part graph — deterministic hash-coin edge
+    sparsification, so the 'approximate' count replays bit-exactly
+    (one row: sampled count + 27x-scaled estimate). Unbiasedness /
+    error statistics are pytest territory."""
+    from .operators.triangles import approx_triangle_count
+
+    e = co_part_edges(spark, sf_dir, order_mod=3)
+    return approx_triangle_count(
+        e, p_num=1, p_den=3, seed=7, hash_family="md5"
+    )
+
+
+_ORACLE_APPROX_TRI = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
+samp AS MATERIALIZED (
+  SELECT src_id, dst_id FROM e0
+  WHERE CAST(('0x' || substr(md5('7:' || CAST(src_id AS VARCHAR) || ':'
+                             || CAST(dst_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 3 < 1),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS n
+        FROM samp a JOIN samp b ON a.dst_id = b.src_id
+        JOIN samp c ON c.src_id = a.src_id AND c.dst_id = b.dst_id)
+SELECT n AS n_sampled_triangles, n * 27.0 AS est_triangles FROM tri
+"""
+
+
+def q_neighborhood_balls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two HyperBall-KMV rounds (operators/sketches.py — per-vertex
+    min-k synopsis of the distance-<=2 ball, two-phase salted merges)
+    on the gate co-part graph, k=16. Every synopsis value is a pure
+    hash function of (graph, seed) — the oracle replays the full
+    2-round list fixpoint bit-exactly, including the estimates."""
+    from .operators.sketches import neighborhood_sketches
+
+    e = co_part_edges(spark, sf_dir, order_mod=3)
+    return (
+        neighborhood_sketches(spark, e, t=2, k=16, seed=5, hash_family="md5")
+        .select(
+            "id", "n_sk", "kth_hash",
+            F.round("est_ball", 6).alias("est_ball"),
+        )
+        .orderBy("id")
+    )
+
+
+_NB_G = ("CAST(('0x' || substr(md5('5:' || CAST({x} AS VARCHAR)), 1, 15)) "
+         "AS BIGINT)")
+
+
+def _neighborhood_sql(rounds: int, k: int) -> str:
+    pre = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
+und AS MATERIALIZED (
+  SELECT src_id AS a, dst_id AS b FROM e0 WHERE src_id != dst_id
+  UNION SELECT dst_id, src_id FROM e0 WHERE src_id != dst_id),
+verts AS MATERIALIZED (SELECT DISTINCT a AS id FROM und),
+c0 AS MATERIALIZED (SELECT id, [{_NB_G.format(x='id')}] AS sk FROM verts)"""
+    body = ""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        body += f""",
+m{i} AS (SELECT id, sk FROM c{p}
+        UNION ALL
+        SELECT u.a AS id, c.sk FROM und u JOIN c{p} c ON c.id = u.b),
+c{i} AS MATERIALIZED (
+  SELECT id, list_sort(list_distinct(flatten(list(sk))))[1:{k}] AS sk
+  FROM m{i} GROUP BY id)"""
+    return pre + body + f"""
+SELECT id, CAST(len(sk) AS BIGINT) AS n_sk,
+       CASE WHEN len(sk) >= {k} THEN sk[{k}] END AS kth_hash,
+       round(CASE WHEN len(sk) >= {k}
+                  THEN {k - 1}.0 / ((sk[{k}] + 1) / 1152921504606846976.0)
+                  ELSE CAST(len(sk) AS DOUBLE) END, 6) AS est_ball
+FROM c{rounds} ORDER BY id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3382,6 +3460,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "kmv_distinct_tokens": (q_kmv_distinct_tokens, _ORACLE_KMV),
     "wl_colors": (q_wl_colors, _wl_sql(2)),
     "pagerank_warm": (q_pagerank_warm, _pagerank_warm_sql(2)),
+    "approx_triangles": (q_approx_triangles, _ORACLE_APPROX_TRI),
+    "neighborhood_balls": (q_neighborhood_balls, _neighborhood_sql(2, 16)),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),
@@ -3452,7 +3532,7 @@ _GATE_ORDER = [
     "top_depended_parts",
     "degree_distribution", "frontier_indegree0", "graph_contraction",
     "triangle_count", "clustering_coeff", "adamic_adar_top",
-    "link_scores_top", "transitivity",
+    "link_scores_top", "transitivity", "approx_triangles",
     "assortativity", "modularity_parts",
     "corpus_edges", "chain_decomposition",
     # ~5-30s: shallow iterative
@@ -3460,7 +3540,7 @@ _GATE_ORDER = [
     "mis_greedy", "betweenness_chains", "harmonic_chains",
     "eccentricity_chains", "closeness_chains",
     "katz_3steps", "salsa_3steps", "graph_coloring", "wl_colors",
-    "pagerank_warm",
+    "pagerank_warm", "neighborhood_balls",
     "random_walks", "biased_walks",
     "sssp_parts", "balanced_partition",
     # heavies: deep fixpoints / peels

@@ -336,3 +336,47 @@ def test_pagerank_warm_start_zero_init_falls_back_uniform(spark):
     ar = {r.id: r.rank for r in a.collect()}
     br = {r.id: r.rank for r in b.collect()}
     assert ar == br
+
+
+def test_approx_triangles_exact_at_p1_and_deterministic(spark):
+    from cim_framework_graph_partitioning_spark.operators.triangles import (
+        approx_triangle_count,
+        triangle_count,
+    )
+    triples = _random_edges(31, n=30, m=150)
+    df = _edges_df(spark, triples)
+    exact = triangle_count(df).collect()[0].n_triangles
+    full = approx_triangle_count(df, p_num=1, p_den=1).collect()[0]
+    assert full.n_sampled_triangles == exact
+    assert full.est_triangles == float(exact)
+    a = approx_triangle_count(df, p_num=1, p_den=2, seed=9).collect()[0]
+    b = approx_triangle_count(
+        df.repartition(13), p_num=1, p_den=2, seed=9).collect()[0]
+    assert tuple(a) == tuple(b)  # deterministic + partitioning-invariant
+
+
+def test_approx_triangles_matches_python_sample_replay(spark):
+    import hashlib
+    from cim_framework_graph_partitioning_spark.operators.triangles import (
+        approx_triangle_count,
+    )
+    triples = _random_edges(32, n=25, m=120)
+    df = _edges_df(spark, triples)
+    got = approx_triangle_count(
+        df, p_num=1, p_den=3, seed=4, hash_family="md5").collect()[0]
+    kept = set()
+    for u, v, _ in triples:
+        a, b = min(u, v), max(u, v)
+        h = int(hashlib.md5(f"4:{a}:{b}".encode()).hexdigest()[:15], 16)
+        if h % 3 < 1:
+            kept.add((a, b))
+    nbrs = {}
+    for a, b in kept:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in kept:
+        tri += len(nbrs[a] & nbrs[b])
+    tri //= 3  # each triangle counted once per edge
+    assert got.n_sampled_triangles == tri
+    assert got.est_triangles == pytest.approx(tri * 27.0)

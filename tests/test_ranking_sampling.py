@@ -164,3 +164,79 @@ def test_kmv_merge_property(spark):
     n, kth, est = _kmv_replay([v for _, v in rows_a + rows_b], 64, 5)
     assert (u.n_hashes, u.kth_hash) == (n, kth)
     assert u.est_distinct == pytest.approx(est, rel=1e-12)
+
+
+# --- HyperBall-KMV neighborhood sketches ---------------------------------
+
+def _ball_replay(pairs, t, k, seed):
+    """Python replay: exact min-k sketch fixpoint of the <=t-hop ball."""
+    nbrs = {}
+    for u, v in pairs:
+        if u != v:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+    def h(v):
+        return int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:15], 16)
+    sk = {v: [h(v)] for v in nbrs}
+    for _ in range(t):
+        sk = {v: sorted(set(sk[v]).union(*[sk[u] for u in nbrs[v]]))[:k]
+              for v in nbrs}
+    out = {}
+    for v, s in sk.items():
+        if len(s) >= k:
+            kth = s[k - 1]
+            out[v] = (len(s), kth, (k - 1) / ((kth + 1) / float(1 << 60)))
+        else:
+            out[v] = (len(s), None, float(len(s)))
+    return out
+
+
+def test_neighborhood_sketches_match_python_replay(spark):
+    import random
+    from cim_framework_graph_partitioning_spark.operators.sketches import (
+        neighborhood_sketches,
+    )
+    rng = random.Random(17)
+    pairs = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(100)}
+                   - {(i, i) for i in range(40)})
+    df = spark.createDataFrame([(u, v, 1.0) for u, v in pairs],
+                               "src_id long, dst_id long, weight double")
+    got = {r.id: (r.n_sk, r.kth_hash, r.est_ball)
+           for r in neighborhood_sketches(
+               spark, df, t=2, k=8, seed=3, hash_family="md5").collect()}
+    want = _ball_replay(pairs, 2, 8, 3)
+    assert set(got) == set(want)
+    for v, (n, kth, est) in want.items():
+        assert got[v][0] == n, v
+        assert got[v][1] == kth, v
+        assert got[v][2] == pytest.approx(est, rel=1e-12), v
+
+
+def test_neighborhood_sketches_exact_small_balls(spark):
+    # path graph, k larger than any ball: n_sk IS the exact ball size
+    from cim_framework_graph_partitioning_spark.operators.sketches import (
+        neighborhood_sketches,
+    )
+    p6 = [(i, i + 1, 1.0) for i in range(5)]
+    df = spark.createDataFrame(p6, "src_id long, dst_id long, weight double")
+    got = {r.id: r.n_sk for r in
+           neighborhood_sketches(spark, df, t=2, k=32).collect()}
+    # |Ball(v,2)| on P6: ends 3, next-to-ends 4, middle 5
+    assert got == {0: 3, 1: 4, 2: 5, 3: 5, 4: 4, 5: 3}
+
+
+def test_neighborhood_sketches_salt_invariant(spark):
+    import random
+    from cim_framework_graph_partitioning_spark.operators.sketches import (
+        neighborhood_sketches,
+    )
+    rng = random.Random(23)
+    pairs = sorted({(rng.randrange(25), rng.randrange(25)) for _ in range(70)}
+                   - {(i, i) for i in range(25)})
+    df = spark.createDataFrame([(u, v, 1.0) for u, v in pairs],
+                               "src_id long, dst_id long, weight double")
+    a = sorted(tuple(r) for r in neighborhood_sketches(
+        spark, df, t=2, k=8, seed=1, salt_buckets=1).collect())
+    b = sorted(tuple(r) for r in neighborhood_sketches(
+        spark, df, t=2, k=8, seed=1, salt_buckets=64).collect())
+    assert a == b
