@@ -22,7 +22,14 @@ def get_spark(
     driver_memory: str | None = None,
 ) -> SparkSession:
     cores = default_parallelism()
-    master = master or os.environ.get("SPARK_MASTER", f"local[{cores}]")
+    # Under spark-submit the gateway JVM already exists and its conf
+    # carries the submitted --master; forcing .master() here would
+    # override the cluster manager the user launched against. The
+    # gateway env vars are the reliable submit signature.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    master = master or os.environ.get("SPARK_MASTER") or (
+        None if under_submit else f"local[{cores}]"
+    )
     shuffle_partitions = shuffle_partitions or cores
     driver_memory = driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "16g")
     # shuffle spill dir on tmpfs when available: local-mode shuffles are
@@ -32,7 +39,8 @@ def get_spark(
     if not local_dir and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         local_dir = "/dev/shm/spark-local"
     builder = (
-        SparkSession.builder.master(master)
+        (SparkSession.builder.master(master) if master
+         else SparkSession.builder)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
