@@ -1,0 +1,192 @@
+"""Louvain-style modularity local moves as synchronous DataFrame rounds.
+
+One round of the Louvain first phase (Blondel et al. 2008), the
+building block of every distributed Louvain (Ghosh et al. 2018
+"Distributed Louvain" / Grappolo lineage): given a community
+assignment, every vertex evaluates the modularity gain of moving to
+each neighboring community and takes the best strictly-positive move;
+all moves apply SYNCHRONOUSLY. Synchronous rounds are the standard
+distributed compromise (sequential Louvain's moves are inherently
+serial); simultaneous moves of ADJACENT vertices can conflict, so the
+convergent composition processes one greedy-coloring class per round
+(`operators/coloring.py` — vertices of one color are pairwise
+non-adjacent, making each round's moves independent and the modularity
+non-decreasing; see tests).
+
+Exact-arithmetic contract (the partitioner-oracle discipline): with
+integer edge weights every gain comparison is done on the INTEGER
+quantity 2m²·ΔQ — for a vertex v moving from community D to C,
+
+    gain_num(C) = 2m·w(v→C)        - k_v·Σtot(C)
+    stay_num    = 2m·w(v→D\\{v})    - k_v·(Σtot(D) - k_v)
+
+where m = total undirected weight, k_v = weighted degree, Σtot(C) =
+sum of k_u over u in C. v moves to argmax gain_num (ties broken by
+SMALLEST community id) iff that maximum strictly exceeds stay_num.
+No floating point enters any comparison, so the round replays
+bit-exactly in any engine — the modularity metric itself
+(operators/metrics.py) stays the one place doubles appear.
+
+Scale shape: one round = two joins of the (vertex, community) state
+onto the cached symmetrized edge table (state-only shuffles) + two
+community-keyed aggregations (Σtot; per-(v, C) edge weights) — all
+map-side combinable; driver traffic is zero (the synchronous apply is
+a join, not a collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+
+
+def louvain_move_round(
+    edges: DataFrame,
+    labels: DataFrame | None = None,
+    movers: DataFrame | None = None,
+) -> DataFrame:
+    """One synchronous Louvain local-move round. Returns (id, community).
+
+    ``labels``: current (id, community) assignment; None = singletons
+    (community := id). ``movers``: optional (id) set — only these
+    vertices may move this round (pass one greedy-coloring class to
+    make moves conflict-free); everyone else keeps their community.
+    Self-loops are dropped (simple-graph convention shared with
+    MIS/coloring/WL); integer edge weights are required for the
+    exact-arithmetic contract (weights are cast to long — fractional
+    weights raise).
+    """
+    # weighted symmetrization: undirected weight of a pair = sum of its
+    # directed weights (both orientations), self-loops dropped
+    canon = (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+            "weight",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("weight").alias("w"))
+    )
+    und = canon.select(
+        F.col("a").alias("src_id"), F.col("b").alias("dst_id"), "w"
+    ).unionByName(
+        canon.select(
+            F.col("b").alias("src_id"), F.col("a").alias("dst_id"), "w"
+        )
+    )
+    frac = und.filter(F.col("w") != F.floor("w")).limit(1).count()
+    if frac:
+        raise ValueError(
+            "louvain_move_round requires integer edge weights "
+            "(exact-arithmetic gain comparisons)"
+        )
+    und = und.select(
+        "src_id", "dst_id", F.col("w").cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+
+    verts = und.select(F.col("src_id").alias("id")).distinct()
+    if labels is None:
+        lab = verts.select("id", F.col("id").alias("community"))
+    else:
+        l0 = labels.select(
+            F.col(labels.columns[0]).alias("id"),
+            F.col(labels.columns[1]).alias("community"),
+        )
+        lab = verts.join(l0, "id", "left").select(
+            "id", F.coalesce(F.col("community"), F.col("id")).alias("community")
+        )
+    lab = lab.localCheckpoint(eager=True)
+
+    deg = und.groupBy(F.col("src_id").alias("id")).agg(
+        F.sum("w").alias("k")
+    )
+    m_tbl = F.broadcast(und.agg((F.sum("w") / 2).cast("long").alias("m")))
+    tot = (
+        lab.join(deg, "id")
+        .groupBy("community")
+        .agg(F.sum("k").alias("tot"))
+    )
+
+    # per (vertex, neighbor-community) edge mass w(v -> C)
+    nbr_lab = lab.select(
+        F.col("id").alias("dst_id"), F.col("community").alias("ncomm")
+    )
+    vc = (
+        und.join(nbr_lab, "dst_id")
+        .groupBy(F.col("src_id").alias("id"), "ncomm")
+        .agg(F.sum("w").alias("w_vc"))
+    )
+
+    state = (
+        lab.join(deg, "id")
+        .join(vc, "id", "left")
+        .join(
+            tot.select(F.col("community").alias("ncomm"),
+                       F.col("tot").alias("tot_n")),
+            "ncomm", "left",
+        )
+        .join(tot, "community")
+        .crossJoin(m_tbl)
+    )
+    # integer gain of joining ncomm; for the CURRENT community the same
+    # expression minus the self-exclusion correction is the stay score
+    is_stay = F.col("ncomm") == F.col("community")
+    gain = F.when(
+        is_stay,
+        F.lit(2) * F.col("m") * F.col("w_vc")
+        - F.col("k") * (F.col("tot") - F.col("k")),
+    ).otherwise(
+        F.lit(2) * F.col("m") * F.col("w_vc") - F.col("k") * F.col("tot_n")
+    )
+    # stay score when v has NO internal edge to its own community
+    # (w(v->D\v)=0): 2m*0 - k*(tot - k)
+    stay_default = -F.col("k") * (F.col("tot") - F.col("k"))
+    scored = state.select(
+        "id", "community",
+        "ncomm",
+        gain.alias("g"),
+        is_stay.alias("is_stay"),
+        stay_default.alias("stay_default"),
+    )
+    best = scored.groupBy("id", "community").agg(
+        F.max(
+            F.when(
+                ~F.col("is_stay"),
+                F.struct(
+                    F.col("g").alias("g"),
+                    (-F.col("ncomm")).alias("negc"),
+                ),
+            )
+        ).alias("best_move"),
+        F.coalesce(
+            F.max(F.when(F.col("is_stay"), F.col("g"))),
+            F.first("stay_default"),
+        ).alias("stay"),
+    )
+    moved = best.select(
+        "id",
+        F.when(
+            F.col("best_move").isNotNull()
+            & (F.col("best_move.g") > F.col("stay")),
+            -F.col("best_move.negc"),
+        ).otherwise(F.col("community")).alias("community"),
+    )
+    if movers is not None:
+        mv = movers.select(
+            F.col(movers.columns[0]).alias("id")
+        ).withColumn("_mv", F.lit(True))
+        moved = (
+            moved.withColumnRenamed("community", "new_community")
+            .join(lab, "id")
+            .join(mv, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("_mv"), F.col("new_community"))
+                .otherwise(F.col("community"))
+                .alias("community"),
+            )
+        )
+    return moved

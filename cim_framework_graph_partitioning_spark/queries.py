@@ -3407,6 +3407,75 @@ SELECT id, CAST(len(sk) AS BIGINT) AS n_sk,
 FROM c{rounds} ORDER BY id"""
 
 
+def q_louvain_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous Louvain local-move rounds
+    (operators/community.py — integer 2m²·ΔQ gain comparisons, so the
+    assignment replays bit-exactly): round 1 from singletons, round 2
+    restricted to even-id movers (the movers= path — a coloring class
+    stands in for it in the convergent composition; conflict-free
+    monotonicity is pytest territory)."""
+    from .operators.community import louvain_move_round
+
+    e = co_part_edges(spark, sf_dir, order_mod=3)
+    l1 = louvain_move_round(e)
+    mv = l1.select("id").filter(F.pmod(F.col("id"), F.lit(2)) == 0)
+    l2 = louvain_move_round(e, labels=l1, movers=mv)
+    return l2.orderBy("id")
+
+
+_ORACLE_LOUVAIN = f"""
+WITH e0 AS MATERIALIZED ({_SQL_CO_PART_GATE}),
+und AS MATERIALIZED (
+  SELECT src_id, dst_id, CAST(1 AS BIGINT) AS w FROM e0
+   WHERE src_id != dst_id
+  UNION ALL
+  SELECT dst_id, src_id, CAST(1 AS BIGINT) AS w FROM e0
+   WHERE src_id != dst_id),
+deg AS MATERIALIZED (
+  SELECT src_id AS id, CAST(sum(w) AS BIGINT) AS k FROM und GROUP BY 1),
+mm AS MATERIALIZED (SELECT CAST(sum(w) / 2 AS BIGINT) AS m FROM und),
+cand1 AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY g DESC, c ASC) AS rk
+  FROM (
+    SELECT u.src_id AS id, u.dst_id AS c,
+           2 * (SELECT m FROM mm) * u.w - ds.k * dd.k AS g
+    FROM und u JOIN deg ds ON ds.id = u.src_id
+    JOIN deg dd ON dd.id = u.dst_id)),
+r1 AS MATERIALIZED (
+  SELECT id, CASE WHEN g > 0 THEN c ELSE id END AS community
+  FROM cand1 WHERE rk = 1),
+tot1 AS MATERIALIZED (
+  SELECT r.community, CAST(sum(d.k) AS BIGINT) AS tot
+  FROM r1 r JOIN deg d USING (id) GROUP BY 1),
+vc1 AS MATERIALIZED (
+  SELECT u.src_id AS id, r.community AS ncomm,
+         CAST(sum(u.w) AS BIGINT) AS wvc
+  FROM und u JOIN r1 r ON r.id = u.dst_id GROUP BY 1, 2),
+stay AS MATERIALIZED (
+  SELECT r.id, r.community,
+         2 * (SELECT m FROM mm) * coalesce(v.wvc, 0)
+         - d.k * (t.tot - d.k) AS s
+  FROM r1 r JOIN deg d USING (id)
+  JOIN tot1 t ON t.community = r.community
+  LEFT JOIN vc1 v ON v.id = r.id AND v.ncomm = r.community),
+cand2 AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY g DESC, c ASC) AS rk
+  FROM (
+    SELECT v.id, v.ncomm AS c,
+           2 * (SELECT m FROM mm) * v.wvc - d.k * t.tot AS g
+    FROM vc1 v JOIN deg d ON d.id = v.id
+    JOIN tot1 t ON t.community = v.ncomm
+    JOIN r1 r ON r.id = v.id
+    WHERE v.ncomm != r.community)),
+r2 AS (
+  SELECT s.id,
+         CASE WHEN s.id % 2 = 0 AND c.g IS NOT NULL AND c.g > s.s
+              THEN c.c ELSE s.community END AS community
+  FROM stay s LEFT JOIN cand2 c ON c.id = s.id AND c.rk = 1)
+SELECT id, community FROM r2 ORDER BY id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3462,6 +3531,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank_warm": (q_pagerank_warm, _pagerank_warm_sql(2)),
     "approx_triangles": (q_approx_triangles, _ORACLE_APPROX_TRI),
     "neighborhood_balls": (q_neighborhood_balls, _neighborhood_sql(2, 16)),
+    "louvain_rounds": (q_louvain_rounds, _ORACLE_LOUVAIN),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),
@@ -3540,7 +3610,7 @@ _GATE_ORDER = [
     "mis_greedy", "betweenness_chains", "harmonic_chains",
     "eccentricity_chains", "closeness_chains",
     "katz_3steps", "salsa_3steps", "graph_coloring", "wl_colors",
-    "pagerank_warm", "neighborhood_balls",
+    "pagerank_warm", "neighborhood_balls", "louvain_rounds",
     "random_walks", "biased_walks",
     "sssp_parts", "balanced_partition",
     # heavies: deep fixpoints / peels
