@@ -3476,6 +3476,62 @@ SELECT id, community FROM r2 ORDER BY id
 """
 
 
+def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two label-spreading supersteps (operators/spreading.py — Zhou
+    et al. soft multi-class propagation over D^-1/2 W D^-1/2) on the
+    supplier→part graph, seeded with each supplier's nation. Long
+    format (id, label, score): part vertices accumulate per-nation
+    association mass. Oracle = hand-unrolled SQL; round-9 absorbs
+    sum-order ulp noise in the sqrt-normalized weights."""
+    from .operators.spreading import label_spreading
+
+    e = supplier_part_edges(spark, sf_dir)
+    seeds = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_nationkey").alias("label"),
+    )
+    scores, _ = label_spreading(spark, e, seeds, alpha=0.8, tol=0.0,
+                                max_iter=2)
+    return scores.select(
+        "id", "label", F.round("score", 9).alias("score")
+    ).orderBy("id", "label")
+
+
+def _spreading_sql(steps: int, alpha: float = 0.8) -> str:
+    pre = f"""
+WITH edges AS MATERIALIZED ({_SQL_EDGES}),
+canon AS (SELECT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b,
+                 sum(weight) AS w
+          FROM edges WHERE src_id != dst_id GROUP BY 1, 2),
+und AS MATERIALIZED (SELECT a AS src_id, b AS dst_id, w FROM canon
+        UNION ALL SELECT b, a, w FROM canon),
+deg AS MATERIALIZED (SELECT src_id AS id, sum(w) AS d FROM und GROUP BY 1),
+s AS MATERIALIZED (
+  SELECT u.src_id, u.dst_id, u.w / sqrt(ds.d * dd.d) AS s
+  FROM und u JOIN deg ds ON ds.id = u.src_id
+  JOIN deg dd ON dd.id = u.dst_id),
+y AS MATERIALIZED (
+  SELECT sp.s_suppkey AS id, sp.s_nationkey AS label, 1.0 AS y
+  FROM supplier sp JOIN deg d ON d.id = sp.s_suppkey),
+f0 AS (SELECT id, label, y AS score FROM y)"""
+    body = ""
+    for i in range(1, steps + 1):
+        p = i - 1
+        body += f""",
+p{i} AS (SELECT s.dst_id AS id, f.label, sum(f.score * s.s) AS prop
+        FROM s JOIN f{p} f ON f.id = s.src_id GROUP BY 1, 2),
+f{i} AS MATERIALIZED (
+  SELECT coalesce(p.id, y.id) AS id, coalesce(p.label, y.label) AS label,
+         {alpha} * coalesce(p.prop, 0) + {1.0 - alpha} * coalesce(y.y, 0)
+           AS score
+  FROM p{i} p FULL OUTER JOIN y ON p.id = y.id AND p.label = y.label)"""
+    return (
+        pre + body
+        + f"\nSELECT id, label, round(score, 9) AS score FROM f{steps}"
+          " ORDER BY id, label"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3532,6 +3588,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "approx_triangles": (q_approx_triangles, _ORACLE_APPROX_TRI),
     "neighborhood_balls": (q_neighborhood_balls, _neighborhood_sql(2, 16)),
     "louvain_rounds": (q_louvain_rounds, _ORACLE_LOUVAIN),
+    "label_spreading_2steps": (q_label_spreading, _spreading_sql(2)),
     # relational
     "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
     "top_customers": (q_top_customers, _ORACLE_TOP_CUSTOMERS),
@@ -3611,6 +3668,7 @@ _GATE_ORDER = [
     "eccentricity_chains", "closeness_chains",
     "katz_3steps", "salsa_3steps", "graph_coloring", "wl_colors",
     "pagerank_warm", "neighborhood_balls", "louvain_rounds",
+    "label_spreading_2steps",
     "random_walks", "biased_walks",
     "sssp_parts", "balanced_partition",
     # heavies: deep fixpoints / peels
