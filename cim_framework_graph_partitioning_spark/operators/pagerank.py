@@ -12,10 +12,11 @@ Semantics (standard): damping d, N vertices, out-weight W_i = Σ_j w_ij.
 converged when max_j |r'_j − r_j| < tol. float64 throughout; tolerance
 absorbs re-association across partitions (SURVEY §4.3).
 
-Superstep cost discipline: exactly ONE driver action per superstep — a
-single aggregation returning (max|Δ|, next dangling mass) — plus the
-periodic state checkpoint. The dangling flag rides in the state
-DataFrame so no separate dangling scan is needed.
+Superstep cost discipline: exactly ONE Spark job per superstep — the
+state checkpoint materialization, with (max|Δ|, next dangling mass)
+collected as observed metrics of that same job (Dataset.observe), so
+there is no separate stats scan. The dangling flag rides in the state
+DataFrame so no separate dangling scan is needed either.
 
 Two execution paths, identical semantics:
 
@@ -55,7 +56,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.scale import auto_blocks
@@ -68,15 +69,6 @@ def pagerank_salt_col(salt_buckets: int) -> F.Column:
     buckets regardless of the contribution VALUES (which can be identical
     across thousands of in-edges in early supersteps)."""
     return F.pmod(F.xxhash64("src_id", "dst_id"), F.lit(salt_buckets)).alias("_salt")
-
-
-def _normalized_edges(edges: DataFrame) -> DataFrame:
-    """edges(src_id, dst_id, weight) → (src_id, dst_id, frac) with
-    frac = weight / out_weight(src)."""
-    out = edges.groupBy("src_id").agg(F.sum("weight").alias("w_out"))
-    return edges.join(out, "src_id").select(
-        "src_id", "dst_id", (F.col("weight") / F.col("w_out")).alias("frac")
-    )
 
 
 def pagerank(
@@ -127,25 +119,63 @@ def pagerank(
         num_blocks = auto_blocks(edges.count(), sc.defaultParallelism)
     p = num_blocks
 
-    src_ids = edges.select(F.col("src_id").alias("id")).distinct()
-    verts = src_ids.unionByName(edges.select(F.col("dst_id").alias("id"))).distinct()
+    # loop-scoped conf set BEFORE the setup jobs, so the cached verts
+    # and norm tables land on hash(key, p) partitioning directly: their
+    # groupBy exchanges produce p partitions and the per-superstep joins
+    # then reuse them with zero re-exchange (AQE off for the same reason
+    # it is off inside the loop — explicit partitioning, no re-planning).
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        return _pagerank_inner(
+            spark, edges, damping, tol, max_iter, mode, salted, salt_buckets,
+            p, csr_slice_edges, checkpoint_dir, checkpoint_every, resume,
+            run_id, metrics_sink, sources, init_ranks,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
+
+
+def _pagerank_inner(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    mode: str,
+    salted: bool,
+    salt_buckets: int,
+    p: int,
+    csr_slice_edges: int,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+    resume: bool,
+    run_id: str,
+    metrics_sink: list | None,
+    sources: DataFrame | None,
+    init_ranks: DataFrame | None,
+) -> tuple[DataFrame, int]:
+    # verts + has_out in ONE aggregation pass (one exchange, map-side
+    # combined): endpoint rows tagged is_src, max(is_src) per id — the
+    # former distinct-union-distinct-join chain paid three exchanges for
+    # the same table (guide §2.4: remove shuffles outright).
+    ends = edges.select(F.col("src_id").alias("id"), F.lit(1).alias("is_src")).unionByName(
+        edges.select(F.col("dst_id").alias("id"), F.lit(0).alias("is_src"))
+    )
+    verts = ends.groupBy("id").agg((F.max("is_src") == 1).alias("has_out"))
     if sources is not None:
         s = sources.select(F.col(sources.columns[0]).alias("id")).distinct()
         verts = verts.join(
             F.broadcast(s.withColumn("_in_s", F.lit(True))), "id", "left"
-        ).select("id", F.coalesce(F.col("_in_s"), F.lit(False)).alias("in_s"))
-    else:
-        verts = verts.select("id", F.lit(True).alias("in_s"))
-    verts = (
-        verts.join(src_ids.withColumn("_has_out", F.lit(True)), "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("_has_out"), F.lit(False)).alias("has_out"),
-            "in_s",
+        ).select(
+            "id", "has_out", F.coalesce(F.col("_in_s"), F.lit(False)).alias("in_s")
         )
-        .repartition(p, "id")
-        .persist()
-    )
+    else:
+        verts = verts.select("id", "has_out", F.lit(True).alias("in_s"))
+    verts = verts.persist()
     n = verts.count()
     if n == 0:
         return spark.createDataFrame([], "id long, rank double"), 0
@@ -158,7 +188,14 @@ def pagerank(
     if ns == 0:
         raise ValueError("personalized pagerank: no source id is in the graph")
 
-    norm = _normalized_edges(edges)
+    # norm via a window over the src_id exchange the cache needs anyway:
+    # one exchange total (the former groupBy+join+repartition chain paid
+    # two more for the identical frac values).
+    norm = edges.repartition(p, "src_id").select(
+        "src_id",
+        "dst_id",
+        (F.col("weight") / F.sum("weight").over(Window.partitionBy("src_id"))).alias("frac"),
+    )
     if mode in ("csr", "csr_arrow"):
         # hash-partition the (static, large) block table by its cogroup
         # key ONCE: the per-superstep cogroup then reuses this exchange
@@ -171,13 +208,17 @@ def pagerank(
         )
         blocks.count()
     else:
-        norm = norm.repartition(p, "src_id").persist()
+        norm = norm.persist()
         norm.count()
 
+    # state schema: (id, rank, has_out, in_s) — has_out/in_s ride IN the
+    # state so no per-superstep join against a separate verts table is
+    # needed (one fewer state-sized join per step).
     init = verts.select(
         "id",
         F.when(F.col("in_s"), F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias("rank"),
         "has_out",
+        "in_s",
     )
     if init_ranks is not None:
         r0 = init_ranks.select(
@@ -201,6 +242,7 @@ def pagerank(
             )
             .alias("rank"),
             "has_out",
+            "in_s",
         )
 
     import os as _os
@@ -224,7 +266,7 @@ def pagerank(
             # shuffle-hash, not sort-merge: the cached edge table must
             # not be re-sorted every superstep (measured 1.8x/step), and
             # the rank table is never broadcastable at the target scale.
-            r = ranks.hint("shuffle_hash")
+            r = ranks.select("id", "rank").hint("shuffle_hash")
             contribs = r.join(norm, r.id == norm.src_id).select(
                 "src_id", "dst_id", (F.col("rank") * F.col("frac")).alias("contrib")
             )
@@ -266,7 +308,6 @@ def pagerank(
                 ).alias("base")
             )
         )
-        prev = ranks.select("id", F.col("rank").alias("prev")).hint("shuffle_hash")
         # teleport lands only on the source set; the classic uniform
         # path keeps its original branch-free expression
         tele = (
@@ -274,60 +315,63 @@ def pagerank(
             if sources is None
             else F.when(F.col("in_s"), F.col("base")).otherwise(F.lit(0.0))
         )
+        # the state itself is the vertex table (it carries every vertex
+        # plus has_out/in_s), so the new rank is one left join of state
+        # with sums — no separate verts join, no separate prev join.
         new_ranks = (
-            verts.join(sums.hint("shuffle_hash"), verts.id == sums.dst_id, "left")
-            .join(prev, "id")
+            ranks.join(sums.hint("shuffle_hash"), ranks.id == sums.dst_id, "left")
             .crossJoin(base_df)
             .select(
                 "id",
                 (tele + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
                 "has_out",
-                "prev",
+                "in_s",
+                F.col("rank").alias("prev"),
             )
         )
         _mark("plan_build")
-        # job 1: materialize + truncate lineage; job 2: scalar stats over
-        # the local checkpoint (delta + next dangling mass in one agg).
-        newc = new_ranks.localCheckpoint(eager=True)
-        _mark("localCheckpoint")
-        row = newc.agg(
-            F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"),
-            F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias("dm"),
-        ).collect()[0]
-        _mark("stats_agg")
+        # ONE job per superstep: the convergence stats ride the
+        # checkpoint materialization as observed metrics (max/sum are
+        # the same aggregates the former second job computed), and the
+        # checkpointed state drops the prev column.
+        obs = Observation()
+        newc = (
+            new_ranks.observe(
+                obs,
+                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"),
+                F.sum(
+                    F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)
+                ).alias("dm"),
+            )
+            .select("id", "rank", "has_out", "in_s")
+            .localCheckpoint(eager=True)
+        )
+        m = obs.get
+        _mark("localCheckpoint+stats")
         return (
-            newc.select("id", "rank", "has_out"),
-            {"max_delta": float(row.d), "dangling_mass": float(row.dm or 0.0)},
+            newc,
+            {"max_delta": float(m["d"]), "dangling_mass": float(m["dm"] or 0.0)},
         )
 
     runner = SuperstepRunner(
         spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
         checkpoint_every=checkpoint_every,
     )
-    # AQE off inside the loop: per-superstep re-planning costs driver
-    # time every step and the loop's partitioning is already explicit.
-    # Shuffle partitions = p inside the loop for the same reason the
-    # cached tables use p: the per-superstep groupBy/join exchanges
-    # otherwise fan out to the session's global shuffle_partitions,
-    # which for a small graph is pure task-scheduling overhead repeated
-    # every superstep (map-side partial aggregation is unaffected —
-    # this only sizes the post-combine exchanges). Restored on exit.
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
-    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(p))
-    try:
-        ranks, steps = runner.run(
-            init,
-            step_fn,
-            converged=lambda m: m["max_delta"] < tol,
-            max_iter=max_iter,
-            resume=resume,
-            pre_truncated=True,
-        )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
+    # AQE off + shuffle partitions = p for setup AND loop: hoisted to
+    # pagerank() so the cached static tables and every per-superstep
+    # exchange share the same explicit hash(key, p) partitioning (the
+    # per-superstep groupBy/join exchanges would otherwise fan out to
+    # the session's global shuffle_partitions — pure task-scheduling
+    # overhead repeated every superstep on small state; map-side partial
+    # aggregation is unaffected, this only sizes post-combine exchanges).
+    ranks, steps = runner.run(
+        init,
+        step_fn,
+        converged=lambda m: m["max_delta"] < tol,
+        max_iter=max_iter,
+        resume=resume,
+        pre_truncated=True,
+    )
     if metrics_sink is not None:
         metrics_sink.extend(runner.history)
     verts.unpersist()
