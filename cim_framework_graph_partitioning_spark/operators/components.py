@@ -25,7 +25,7 @@ Two algorithms, identical results (component = min vertex id):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.superstep import SuperstepRunner
@@ -50,46 +50,62 @@ def connected_components(
             resume=resume, run_id=run_id,
         )
     p = auto_blocks(edges.count(), spark.sparkContext.defaultParallelism)
-    und = symmetrize(edges).select("src_id", "dst_id").repartition(p, "src_id").persist()
-    verts = (
-        und.select(F.col("src_id").alias("id"))
-        .unionByName(und.select(F.col("dst_id").alias("id")))
-        .distinct()
-        .persist()
-    )
-    init = verts.select("id", F.col("id").alias("component"))
-
-    def step_fn(labels: DataFrame, step: int):
-        nbr_min = (
-            labels.hint("shuffle_hash").join(und, labels.id == und.src_id)
-            .groupBy("dst_id")
-            .agg(F.min("component").alias("nbr_component"))
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        und = (
+            symmetrize(edges).select("src_id", "dst_id")
+            .repartition(p, "src_id").persist()
         )
-        new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.dst_id, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-            )
-        ).persist()
-        # one action: change count (materializes the new state cache)
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("component").alias("prev")), "id"
-            )
-            .filter(F.col("component") != F.col("prev"))
-            .count()
+        verts = (
+            und.select(F.col("src_id").alias("id"))
+            .unionByName(und.select(F.col("dst_id").alias("id")))
+            .distinct()
+            .persist()
         )
-        return new_labels, {"changed": float(changed)}
+        init = verts.select("id", F.col("id").alias("component"))
 
-    runner = SuperstepRunner(spark, checkpoint_dir=checkpoint_dir, run_id=run_id)
-    labels, steps = runner.run(
-        init, step_fn, converged=lambda m: m["changed"] == 0, max_iter=max_iter,
-        resume=resume,
-    )
+        def step_fn(labels: DataFrame, step: int):
+            nbr_min = (
+                labels.hint("shuffle_hash").join(und, labels.id == und.src_id)
+                .groupBy("dst_id")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            # ONE job per superstep: the changed-count rides the
+            # checkpoint materialization as an observed metric
+            obs = Observation()
+            new_labels = (
+                labels.join(nbr_min, labels.id == nbr_min.dst_id, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                    F.col("component").alias("prev"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("component") != F.col("prev"), 1).otherwise(0)
+                    ).alias("chg"),
+                )
+                .select("id", "component")
+                .localCheckpoint(eager=True)
+            )
+            return new_labels, {"changed": float(obs.get["chg"] or 0)}
+
+        runner = SuperstepRunner(spark, checkpoint_dir=checkpoint_dir, run_id=run_id)
+        labels, steps = runner.run(
+            init, step_fn, converged=lambda m: m["changed"] == 0,
+            max_iter=max_iter, resume=resume,
+            pre_truncated=True,  # step_fn checkpoints its own state
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
     und.unpersist()
     verts.unpersist()
     return labels, steps
@@ -120,64 +136,82 @@ def _cc_two_phase(
     per superstep, the driver never holds edges.
     """
     p = auto_blocks(edges.count(), spark.sparkContext.defaultParallelism)
-    verts = (
-        edges.select(F.col("src_id").alias("id"))
-        .unionByName(edges.select(F.col("dst_id").alias("id")))
-        .distinct()
-        .repartition(p, "id")
-        .persist()
-    )
-    init = (
-        edges.filter(F.col("src_id") != F.col("dst_id"))
-        .select(
-            F.greatest("src_id", "dst_id").alias("a"),
-            F.least("src_id", "dst_id").alias("b"),
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        verts = (
+            edges.select(F.col("src_id").alias("id"))
+            .unionByName(edges.select(F.col("dst_id").alias("id")))
+            .distinct()
+            .persist()
         )
-        .distinct()
-    )
-    prev_sig: dict[str, tuple | None] = {"sig": None}
-
-    def step_fn(E: DataFrame, step: int):
-        # large-star: group the symmetrized view by u, connect big
-        # neighbors to the local min. Output stays canonical (v > m).
-        sym = E.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-            E.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        )
-        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        ls = (
-            sym.join(mins.hint("shuffle_hash"), "u")
-            .filter(F.col("v") > F.col("u"))
+        init = (
+            edges.filter(F.col("src_id") != F.col("dst_id"))
             .select(
-                F.col("v").alias("a"),
-                F.least(F.col("u"), F.col("mn")).alias("b"),
+                F.greatest("src_id", "dst_id").alias("a"),
+                F.least("src_id", "dst_id").alias("b"),
             )
             .distinct()
         )
-        # small-star: per node a, connect a and all smaller neighbors
-        # to the min smaller neighbor.
-        mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
-        joined = ls.join(mins2.hint("shuffle_hash"), "a")
-        part1 = joined.filter(F.col("b") != F.col("m")).select(
-            F.col("b").alias("a"), F.col("m").alias("b")
-        )
-        part2 = mins2.select(F.col("a"), F.col("m").alias("b"))
-        new_e = part1.unionByName(part2).distinct().persist()
-        # one action: signature (count + 2 independent 32-bit hash sums)
-        row = new_e.agg(
-            F.count("*").alias("n"),
-            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1 << 32))).alias("h1"),
-            F.sum(F.pmod(F.xxhash64("b", "a", F.lit(7)), F.lit(1 << 32))).alias("h2"),
-        ).collect()[0]
-        sig = (row.n, row.h1, row.h2)
-        changed = 0.0 if sig == prev_sig["sig"] else 1.0
-        prev_sig["sig"] = sig
-        return new_e, {"changed": changed, "edges": float(row.n)}
+        prev_sig: dict[str, tuple | None] = {"sig": None}
 
-    runner = SuperstepRunner(spark, checkpoint_dir=checkpoint_dir, run_id=run_id)
-    stars, steps = runner.run(
-        init, step_fn, converged=lambda m: m["changed"] == 0, max_iter=max_iter,
-        resume=resume,
-    )
+        def step_fn(E: DataFrame, step: int):
+            # large-star: group the symmetrized view by u, connect big
+            # neighbors to the local min. Output stays canonical (v > m).
+            sym = E.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+                E.select(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+            ls = (
+                sym.join(mins.hint("shuffle_hash"), "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(
+                    F.col("v").alias("a"),
+                    F.least(F.col("u"), F.col("mn")).alias("b"),
+                )
+                .distinct()
+            )
+            # small-star: per node a, connect a and all smaller neighbors
+            # to the min smaller neighbor.
+            mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
+            joined = ls.join(mins2.hint("shuffle_hash"), "a")
+            part1 = joined.filter(F.col("b") != F.col("m")).select(
+                F.col("b").alias("a"), F.col("m").alias("b")
+            )
+            part2 = mins2.select(F.col("a"), F.col("m").alias("b"))
+            # ONE job per superstep: the edge-set signature (count + 2
+            # independent 32-bit hash sums) rides the checkpoint
+            # materialization as observed metrics
+            obs = Observation()
+            new_e = (
+                part1.unionByName(part2).distinct()
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1 << 32))).alias("h1"),
+                    F.sum(
+                        F.pmod(F.xxhash64("b", "a", F.lit(7)), F.lit(1 << 32))
+                    ).alias("h2"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            m = obs.get
+            sig = (m["n"], m["h1"], m["h2"])
+            changed = 0.0 if sig == prev_sig["sig"] else 1.0
+            prev_sig["sig"] = sig
+            return new_e, {"changed": changed, "edges": float(m["n"])}
+
+        runner = SuperstepRunner(spark, checkpoint_dir=checkpoint_dir, run_id=run_id)
+        stars, steps = runner.run(
+            init, step_fn, converged=lambda m: m["changed"] == 0,
+            max_iter=max_iter, resume=resume,
+            pre_truncated=True,  # step_fn checkpoints its own state
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
     if steps >= max_iter and runner.history and runner.history[-1]["changed"] != 0:
         # max_iter exhausted before the star fixpoint: a satellite may
         # still hold >1 center, and the left join below would then emit

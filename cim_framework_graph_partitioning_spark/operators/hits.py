@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.scale import auto_blocks
@@ -72,11 +72,38 @@ def hits(
     sc = spark.sparkContext
     p = num_blocks or auto_blocks(edges.count(), sc.defaultParallelism)
 
+    # loop-scoped conf BEFORE setup (same discipline as pagerank): the
+    # cached static tables and the init land on hash(key, p) directly
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        return _hits_inner(
+            spark, edges, tol, max_iter, p, checkpoint_dir, checkpoint_every,
+            resume, run_id, metrics_sink,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
+
+
+def _hits_inner(
+    spark: SparkSession,
+    edges: DataFrame,
+    tol: float,
+    max_iter: int,
+    p: int,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+    resume: bool,
+    run_id: str,
+    metrics_sink: list | None,
+) -> tuple[DataFrame, int]:
     verts = (
         edges.select(F.col("src_id").alias("id"))
         .unionByName(edges.select(F.col("dst_id").alias("id")))
         .distinct()
-        .repartition(p, "id")
         .persist()
     )
     n = verts.count()
@@ -102,25 +129,28 @@ def hits(
             "dst_id", (F.col("hub") * F.col("weight")).alias("c")
         )
         a_sums = a_contribs.groupBy("dst_id").agg(F.sum("c").alias("a_raw"))
+        # the state IS the vertex table: joining it (instead of a
+        # separate verts cache) carries prev_hub/prev_auth along for
+        # free, so the former third join against prev is gone.
         a_tbl = (
-            verts.join(
-                a_sums.hint("shuffle_hash"), verts.id == a_sums.dst_id, "left"
+            state.join(
+                a_sums.hint("shuffle_hash"), state.id == a_sums.dst_id, "left"
             )
-            .select("id", F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("a_raw"))
+            .select(
+                "id",
+                F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("a_raw"),
+                F.col("hub").alias("prev_hub"),
+                F.col("auth").alias("prev_auth"),
+            )
             .localCheckpoint(eager=True)  # job 1: a_raw feeds two consumers
         )
 
         # -- hub half-step over the UN-normalized a_raw
-        a = a_tbl.hint("shuffle_hash")
+        a = a_tbl.select("id", "a_raw").hint("shuffle_hash")
         t_contribs = a.join(e_by_dst, a.id == e_by_dst.dst_id).select(
             "src_id", (F.col("a_raw") * F.col("weight")).alias("c")
         )
         t_sums = t_contribs.groupBy("src_id").agg(F.sum("c").alias("t_raw"))
-        prev = state.select(
-            "id",
-            F.col("hub").alias("prev_hub"),
-            F.col("auth").alias("prev_auth"),
-        ).hint("shuffle_hash")
         raw = (
             a_tbl.join(t_sums.hint("shuffle_hash"),
                        a_tbl.id == t_sums.src_id, "left")
@@ -128,9 +158,10 @@ def hits(
                 a_tbl.id,
                 "a_raw",
                 F.coalesce(F.col("t_raw"), F.lit(0.0)).alias("t_raw"),
+                "prev_hub",
+                "prev_auth",
             )
-            .join(prev, "id")
-            .localCheckpoint(eager=True)  # job 2: raw state for 2 aggs
+            .localCheckpoint(eager=True)  # job 2: raw state for 2 consumers
         )
 
         # both L2 norms ride a 1-row BROADCAST AGG over the checkpointed
@@ -160,24 +191,32 @@ def hits(
             "na",
             "nt",
         )
-        # job 3: L-inf deltas + the norms, one collect per superstep
-        drow = scored.agg(
-            F.max(F.abs(F.col("hub") - F.col("prev_hub"))).alias("dh"),
-            F.max(F.abs(F.col("auth") - F.col("prev_auth"))).alias("da"),
-            F.min("na").alias("na"),
-            F.min("nt").alias("nt"),
-        ).collect()[0]
-        na, nt = float(drow.na or 0.0), float(drow.nt or 0.0)
+        # job 3: MATERIALIZE the scored state, with the L-inf deltas and
+        # norms riding along as observed metrics — the former separate
+        # stats agg re-executed the norm broadcast, and every later
+        # consumer of the lazy scored projection re-executed it again;
+        # the checkpoint pays the norm sub-job exactly once per step.
+        obs = Observation()
+        newc = (
+            scored.observe(
+                obs,
+                F.max(F.abs(F.col("hub") - F.col("prev_hub"))).alias("dh"),
+                F.max(F.abs(F.col("auth") - F.col("prev_auth"))).alias("da"),
+                F.min("na").alias("na"),
+                F.min("nt").alias("nt"),
+            )
+            .select("id", "hub", "auth")
+            .localCheckpoint(eager=True)
+        )
+        m = obs.get
+        na, nt = float(m["na"] or 0.0), float(m["nt"] or 0.0)
         if na == 0.0 or nt == 0.0:
             # degenerate: zero scores ARE the fixpoint — converge now
-            # (same contract as the former driver-side branch)
-            zero = raw.select(
-                "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
-            )
-            return zero, {"max_delta": 0.0, "na": na, "nt": nt}
-        new_state = scored.select("id", "hub", "auth")
-        return new_state, {
-            "max_delta": max(float(drow.dh), float(drow.da)),
+            # (newc is exactly the all-zero score table: both norm
+            # when-guards fell through to 0.0 for every row)
+            return newc, {"max_delta": 0.0, "na": na, "nt": nt}
+        return newc, {
+            "max_delta": max(float(m["dh"]), float(m["da"])),
             "na": na,
             "nt": nt,
         }
@@ -186,23 +225,14 @@ def hits(
         spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
         checkpoint_every=checkpoint_every,
     )
-    # loop-scoped conf, restored on exit (same pattern as pagerank)
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
-    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(p))
-    try:
-        scores, steps = runner.run(
-            init,
-            step_fn,
-            converged=lambda m: m["max_delta"] < tol,
-            max_iter=max_iter,
-            resume=resume,
-            pre_truncated=True,  # state is a projection over job-2's checkpoint
-        )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
+    scores, steps = runner.run(
+        init,
+        step_fn,
+        converged=lambda m: m["max_delta"] < tol,
+        max_iter=max_iter,
+        resume=resume,
+        pre_truncated=True,  # step_fn checkpoints its own state
+    )
     if metrics_sink is not None:
         metrics_sink.extend(runner.history)
     verts.unpersist()

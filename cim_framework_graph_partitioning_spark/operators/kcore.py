@@ -51,7 +51,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.scale import auto_blocks
@@ -91,63 +91,86 @@ def coreness(
         edges.count(), spark.sparkContext.defaultParallelism
     )
 
-    # rename once: the init state derives from the same edge plan, so the
-    # per-step join would otherwise be an ambiguous self-join
-    und = (
-        undirected_edges(edges)
-        .select(F.col("src_id").alias("e_v"), F.col("dst_id").alias("e_u"))
-        .repartition(p, "e_u")
-        .persist()
-    )
-    und.count()
-
-    deg = und.groupBy(F.col("e_v").alias("id")).agg(
-        F.count("*").cast("long").alias("core")
-    )
-    init = deg.repartition(p, "id")
-
-    def step_fn(state: DataFrame, step: int):
-        # neighbor values ride to the dst-partitioned static edges
-        c = state.hint("shuffle_hash")
-        nbr = c.join(und, c.id == und.e_u).select(
-            F.col("e_v").alias("v"), F.col("core").alias("nc")
-        )
-        # histogram h-index (module docstring): per-(v, value) counts
-        # with map-side combine, running f(d) over values DESC, then
-        # h = max(min(d, f(d))) — no degree-sized window anywhere
-        hist = nbr.groupBy("v", "nc").agg(F.count("*").cast("long").alias("cnt"))
-        w = (
-            Window.partitionBy("v")
-            .orderBy(F.col("nc").desc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        hidx = (
-            hist.withColumn("f", F.sum("cnt").over(w))
-            .groupBy("v")
-            .agg(F.max(F.least(F.col("nc"), F.col("f"))).cast("long").alias("h"))
-        )
-        prev = state.select("id", F.col("core").alias("prev"))
-        new_state = (
-            prev.join(hidx.hint("shuffle_hash"), prev.id == hidx.v, "left")
-            .select(
-                "id",
-                F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("core"),
-                "prev",
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_state.filter(F.col("core") != F.col("prev")).count()
-        return new_state.select("id", "core"), {"changed": float(changed)}
-
-    runner = SuperstepRunner(
-        spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
-        checkpoint_every=checkpoint_every,
-    )
+    # loop-scoped conf BEFORE setup so the cached static table and the
+    # init aggregation land on hash(key, p) partitioning directly
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(p))
     try:
+        # rename once: the init state derives from the same edge plan, so
+        # the per-step join would otherwise be an ambiguous self-join.
+        # ONE exchange: repartition by the probe key e_u, then dedup in
+        # place (hash(e_u) clusters every (e_v, e_u) group, so no second
+        # exchange; the former distinct-then-repartition paid two).
+        e = edges.select("src_id", "dst_id").filter(
+            F.col("src_id") != F.col("dst_id")
+        )
+        und = (
+            e.select(F.col("src_id").alias("e_v"), F.col("dst_id").alias("e_u"))
+            .unionByName(
+                e.select(F.col("dst_id").alias("e_v"), F.col("src_id").alias("e_u"))
+            )
+            .repartition(p, "e_u")
+            .dropDuplicates(["e_v", "e_u"])
+            .persist()
+        )
+        und.count()
+
+        # degree init: groupBy lands on hash(id, p) under the hoisted
+        # conf — no extra repartition needed
+        init = und.groupBy(F.col("e_v").alias("id")).agg(
+            F.count("*").cast("long").alias("core")
+        )
+
+        def step_fn(state: DataFrame, step: int):
+            # neighbor values ride to the dst-partitioned static edges
+            c = state.hint("shuffle_hash")
+            nbr = c.join(und, c.id == und.e_u).select(
+                F.col("e_v").alias("v"), F.col("core").alias("nc")
+            )
+            # histogram h-index (module docstring): per-(v, value) counts
+            # with map-side combine, running f(d) over values DESC, then
+            # h = max(min(d, f(d))) — no degree-sized window anywhere
+            hist = nbr.groupBy("v", "nc").agg(F.count("*").cast("long").alias("cnt"))
+            w = (
+                Window.partitionBy("v")
+                .orderBy(F.col("nc").desc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            hidx = (
+                hist.withColumn("f", F.sum("cnt").over(w))
+                .groupBy("v")
+                .agg(F.max(F.least(F.col("nc"), F.col("f"))).cast("long").alias("h"))
+            )
+            prev = state.select("id", F.col("core").alias("prev"))
+            # ONE job per superstep: the changed-count rides the
+            # checkpoint materialization as an observed metric (same
+            # integer count the former second job computed), and the
+            # checkpointed state drops the prev column.
+            obs = Observation()
+            new_state = (
+                prev.join(hidx.hint("shuffle_hash"), prev.id == hidx.v, "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("core"),
+                    "prev",
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("core") != F.col("prev"), 1).otherwise(0)
+                    ).alias("chg"),
+                )
+                .select("id", "core")
+                .localCheckpoint(eager=True)
+            )
+            return new_state, {"changed": float(obs.get["chg"] or 0)}
+
+        runner = SuperstepRunner(
+            spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
+            checkpoint_every=checkpoint_every,
+        )
         cores, steps = runner.run(
             init,
             step_fn,

@@ -13,7 +13,7 @@ exact label parity at convergence).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.barrier import PlanBarrier
@@ -38,50 +38,67 @@ def label_propagation(
     bit-for-bit across partitionings.
     """
     p = auto_blocks(edges.count(), spark.sparkContext.defaultParallelism)
-    und = symmetrize(edges).repartition(p, "src_id").persist()
-    verts = (
-        und.select(F.col("src_id").alias("id"))
-        .unionByName(und.select(F.col("dst_id").alias("id")))
-        .distinct()
-        .persist()
-    )
-    init = verts.select("id", F.col("id").alias("label"))
-
-    w = Window.partitionBy("dst_id").orderBy(
-        F.col("wsum").desc(), F.col("label").asc()
-    )
-
-    def step_fn(labels: DataFrame, step: int):
-        votes = (
-            labels.hint("shuffle_hash").join(und, labels.id == und.src_id)
-            .groupBy("dst_id", "label")
-            .agg(F.sum("weight").alias("wsum"))
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        und = symmetrize(edges).repartition(p, "src_id").persist()
+        verts = (
+            und.select(F.col("src_id").alias("id"))
+            .unionByName(und.select(F.col("dst_id").alias("id")))
+            .distinct()
+            .persist()
         )
-        winner = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("dst_id", F.col("label").alias("new_label"))
+        init = verts.select("id", F.col("id").alias("label"))
+
+        w = Window.partitionBy("dst_id").orderBy(
+            F.col("wsum").desc(), F.col("label").asc()
         )
-        new_labels = (
-            labels.join(winner, labels.id == winner.dst_id, "left")
-            .select(
-                "id",
-                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+
+        def step_fn(labels: DataFrame, step: int):
+            votes = (
+                labels.hint("shuffle_hash").join(und, labels.id == und.src_id)
+                .groupBy("dst_id", "label")
+                .agg(F.sum("weight").alias("wsum"))
             )
-        ).persist()
-        # one action: change count (materializes the new state cache)
-        changed = (
-            new_labels.join(labels.select("id", F.col("label").alias("prev")), "id")
-            .filter(F.col("label") != F.col("prev"))
-            .count()
-        )
-        return new_labels, {"changed": float(changed)}
+            winner = (
+                votes.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("dst_id", F.col("label").alias("new_label"))
+            )
+            # ONE job per superstep: the changed-count rides the
+            # checkpoint materialization as an observed metric (the
+            # former separate count re-joined the old labels; prev is
+            # already in this plan)
+            obs = Observation()
+            new_labels = (
+                labels.join(winner, labels.id == winner.dst_id, "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+                    F.col("label").alias("prev"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("label") != F.col("prev"), 1).otherwise(0)
+                    ).alias("chg"),
+                )
+                .select("id", "label")
+                .localCheckpoint(eager=True)
+            )
+            return new_labels, {"changed": float(obs.get["chg"] or 0)}
 
-    runner = SuperstepRunner(spark, checkpoint_dir=checkpoint_dir, run_id=run_id)
-    labels, steps = runner.run(
-        init, step_fn, converged=lambda m: m["changed"] == 0, max_iter=max_iter,
-        resume=resume,
-    )
+        runner = SuperstepRunner(spark, checkpoint_dir=checkpoint_dir, run_id=run_id)
+        labels, steps = runner.run(
+            init, step_fn, converged=lambda m: m["changed"] == 0,
+            max_iter=max_iter, resume=resume,
+            pre_truncated=True,  # step_fn checkpoints its own state
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
     und.unpersist()
     verts.unpersist()
     return labels, steps

@@ -36,12 +36,11 @@ the partitioner's move-coloring step uses implicitly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.scale import auto_blocks
 from ..plans.superstep import SuperstepRunner
-from .kcore import undirected_edges
 
 UNDECIDED, IN_MIS, EXCLUDED = 0, 1, 2
 
@@ -78,76 +77,106 @@ def maximal_independent_set(
     p = num_blocks or auto_blocks(
         edges.count(), spark.sparkContext.defaultParallelism
     )
-    und = (
-        undirected_edges(edges)
-        .select(F.col("src_id").alias("e_v"), F.col("dst_id").alias("e_u"))
-        .repartition(p, "e_u")
-        .persist()
-    )
-    und.count()
-
-    # endpoints of the RAW edge table: a vertex with only a self-loop
-    # vanishes from `und` but still exists (isolated ⇒ joins the MIS)
-    verts = (
-        edges.select(F.col("src_id").alias("id"))
-        .unionByName(edges.select(F.col("dst_id").alias("id")))
-        .distinct()
-    )
-    init = verts.select(
-        "id",
-        _prio_hash(seed, hash_family).alias("h"),
-        F.lit(UNDECIDED).cast("int").alias("status"),
-    ).repartition(p, "id")
-
-    def step_fn(state: DataFrame, step: int):
-        undec = state.filter(F.col("status") == UNDECIDED)
-        # priority of every undecided neighbor, riding the cached
-        # e_u-partitioned edges: only the shrinking state shuffles
-        u = undec.select("id", "h").hint("shuffle_hash")
-        nbr = u.join(und, u.id == und.e_u).select(
-            F.col("e_v").alias("v"),
-            F.struct(F.col("h"), F.col("id")).alias("nprio"),
+    # loop-scoped conf BEFORE setup (same discipline as pagerank): the
+    # cached static table and init land on hash(key, p) partitioning and
+    # every per-step exchange is sized to the data, not the session.
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        # ONE exchange: repartition by the probe key e_u, dedup in place
+        # (hash(e_u) clusters every (e_v, e_u) group)
+        e = edges.select("src_id", "dst_id").filter(
+            F.col("src_id") != F.col("dst_id")
         )
-        nbr_min = nbr.groupBy("v").agg(F.min("nprio").alias("min_nprio"))
-        joiners = (
-            undec.join(nbr_min.hint("shuffle_hash"),
-                       undec.id == nbr_min.v, "left")
-            .filter(
-                F.col("min_nprio").isNull()
-                | (F.struct(F.col("h"), F.col("id")) < F.col("min_nprio"))
+        und = (
+            e.select(F.col("src_id").alias("e_v"), F.col("dst_id").alias("e_u"))
+            .unionByName(
+                e.select(F.col("dst_id").alias("e_v"), F.col("src_id").alias("e_u"))
             )
-            .select("id")
+            .repartition(p, "e_u")
+            .dropDuplicates(["e_v", "e_u"])
+            .persist()
         )
-        # neighbors of joiners (strict minima ⇒ never joiners themselves)
-        j = joiners.select(F.col("id").alias("e_u")).hint("shuffle_hash")
-        excluded = (
-            und.join(j, "e_u").select(F.col("e_v").alias("id")).distinct()
-        )
-        new_state = (
-            state.join(joiners.withColumn("_j", F.lit(1)), "id", "left")
-            .join(excluded.withColumn("_x", F.lit(1)), "id", "left")
-            .select(
-                "id", "h",
-                F.when(F.col("status") != UNDECIDED, F.col("status"))
-                .when(F.col("_j") == 1, F.lit(IN_MIS))
-                .when(F.col("_x") == 1, F.lit(EXCLUDED))
-                .otherwise(F.lit(UNDECIDED))
-                .cast("int")
-                .alias("status"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        undecided = new_state.filter(F.col("status") == UNDECIDED).count()
-        return new_state, {"undecided": float(undecided)}
+        und.count()
 
-    runner = SuperstepRunner(
-        spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
-        checkpoint_every=checkpoint_every,
-    )
-    state, steps = runner.run(
-        init, step_fn, converged=lambda m: m["undecided"] == 0,
-        max_iter=max_iter, resume=resume,
-    )
+        # endpoints of the RAW edge table: a vertex with only a self-loop
+        # vanishes from `und` but still exists (isolated ⇒ joins the MIS);
+        # under the hoisted conf the distinct lands on hash(id, p)
+        # directly, so the former explicit repartition is gone
+        verts = (
+            edges.select(F.col("src_id").alias("id"))
+            .unionByName(edges.select(F.col("dst_id").alias("id")))
+            .distinct()
+        )
+        init = verts.select(
+            "id",
+            _prio_hash(seed, hash_family).alias("h"),
+            F.lit(UNDECIDED).cast("int").alias("status"),
+        )
+
+        def step_fn(state: DataFrame, step: int):
+            undec = state.filter(F.col("status") == UNDECIDED)
+            # priority of every undecided neighbor, riding the cached
+            # e_u-partitioned edges: only the shrinking state shuffles
+            u = undec.select("id", "h").hint("shuffle_hash")
+            nbr = u.join(und, u.id == und.e_u).select(
+                F.col("e_v").alias("v"),
+                F.struct(F.col("h"), F.col("id")).alias("nprio"),
+            )
+            nbr_min = nbr.groupBy("v").agg(F.min("nprio").alias("min_nprio"))
+            joiners = (
+                undec.join(nbr_min.hint("shuffle_hash"),
+                           undec.id == nbr_min.v, "left")
+                .filter(
+                    F.col("min_nprio").isNull()
+                    | (F.struct(F.col("h"), F.col("id")) < F.col("min_nprio"))
+                )
+                .select("id")
+            )
+            # neighbors of joiners (strict minima ⇒ never joiners themselves)
+            j = joiners.select(F.col("id").alias("e_u")).hint("shuffle_hash")
+            excluded = (
+                und.join(j, "e_u").select(F.col("e_v").alias("id")).distinct()
+            )
+            # ONE job per superstep: the undecided count rides the
+            # checkpoint materialization as an observed metric
+            obs = Observation()
+            new_state = (
+                state.join(joiners.withColumn("_j", F.lit(1)), "id", "left")
+                .join(excluded.withColumn("_x", F.lit(1)), "id", "left")
+                .select(
+                    "id", "h",
+                    F.when(F.col("status") != UNDECIDED, F.col("status"))
+                    .when(F.col("_j") == 1, F.lit(IN_MIS))
+                    .when(F.col("_x") == 1, F.lit(EXCLUDED))
+                    .otherwise(F.lit(UNDECIDED))
+                    .cast("int")
+                    .alias("status"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("status") == UNDECIDED, 1).otherwise(0)
+                    ).alias("undec"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            return new_state, {"undecided": float(obs.get["undec"] or 0)}
+
+        runner = SuperstepRunner(
+            spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
+            checkpoint_every=checkpoint_every,
+        )
+        state, steps = runner.run(
+            init, step_fn, converged=lambda m: m["undecided"] == 0,
+            max_iter=max_iter, resume=resume,
+            pre_truncated=True,  # step_fn checkpoints its own state
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
     und.unpersist()
     return (
         state.select("id", (F.col("status") == IN_MIS).alias("in_mis")),
