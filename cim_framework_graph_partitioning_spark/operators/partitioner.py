@@ -118,10 +118,13 @@ def exact_objective(
     trip the end-of-run drift assert."""
     a_src = assignment.select(F.col("id").alias("src_id"), F.col("part").alias("p_src"))
     a_dst = assignment.select(F.col("id").alias("dst_id"), F.col("part").alias("p_dst"))
+    # dst join first: balanced_partition caches `und` hash-partitioned by
+    # dst_id, so this order reuses that exchange and only the second join
+    # re-shuffles the (label-joined) edges by src_id.
     cut = (
         und.filter(F.col("src_id") < F.col("dst_id"))
-        .join(a_src, "src_id")
-        .join(a_dst, "dst_id")
+        .join(a_dst.hint("shuffle_hash"), "dst_id")
+        .join(a_src.hint("shuffle_hash"), "src_id")
         .filter(F.col("p_src") != F.col("p_dst"))
         .agg(F.coalesce(F.sum("weight"), F.lit(0.0)))
         .collect()[0][0]
@@ -184,33 +187,42 @@ def balanced_partition(
         raise ValueError(f"objective_mode must be one of {OBJECTIVE_MODES}")
     alpha = _cut_scale(objective_mode)
     p = auto_blocks(edges.count(), spark.sparkContext.defaultParallelism)
-    und = symmetrize(edges).repartition(p, "src_id").persist()
-    verts = (
-        und.select(F.col("src_id").alias("id"))
-        .unionByName(und.select(F.col("dst_id").alias("id")))
-        .distinct()
-        .persist()
-    )
-
-    barrier = PlanBarrier(spark, tag="partitioner")
-    part0 = (
-        init_part
-        if init_part is not None
-        else F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(k))
-    )
-    best = barrier.cut(verts.select("id", part0.cast("int").alias("part")))
-
-    best_obj, cut, ssq, loads_map = exact_objective(
-        und, best, lam, objective_mode, pipeline_batch, k=k, return_loads=True
-    )
-    history = [{"round": 0, "objective": best_obj, "cut": cut, "ssq": ssq,
-                "moves": 0, "objective_mode": objective_mode}]
-
+    # loop-scoped conf BEFORE setup (same discipline as pagerank): the
+    # cached edge table, the init assignment and the init objective all
+    # run on hash(key, p) partitioning instead of the session's global
+    # shuffle partitions.
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(p))
     try:
+        # cached by DST_ID — the key of the only per-round join that
+        # touches the full edge table (the assignment-label join below);
+        # the former src_id cache forced a full edge re-exchange EVERY
+        # round (guide §2.4: two operations keyed the same way share one
+        # exchange).
+        und = symmetrize(edges).repartition(p, "dst_id").persist()
+        verts = (
+            und.select(F.col("src_id").alias("id"))
+            .unionByName(und.select(F.col("dst_id").alias("id")))
+            .distinct()
+            .persist()
+        )
+
+        barrier = PlanBarrier(spark, tag="partitioner")
+        part0 = (
+            init_part
+            if init_part is not None
+            else F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(k))
+        )
+        best = barrier.cut(verts.select("id", part0.cast("int").alias("part")))
+
+        best_obj, cut, ssq, loads_map = exact_objective(
+            und, best, lam, objective_mode, pipeline_batch, k=k, return_loads=True
+        )
+        history = [{"round": 0, "objective": best_obj, "cut": cut, "ssq": ssq,
+                    "moves": 0, "objective_mode": objective_mode}]
+
         for rnd in range(1, max_rounds + 1):
             a = best
             # 1-2. per-vertex weight toward each part, salted two-phase
@@ -223,11 +235,21 @@ def balanced_partition(
                 "p_dst",
                 F.pmod(F.xxhash64("dst_id"), F.lit(salt_buckets)).alias("_salt"),
             ).agg(F.sum("weight").alias("w_part"))
-            w_to = partial.groupBy("src_id", "p_dst").agg(F.sum("w_part").alias("w"))
+            # phase 2 on hash(src_id) directly: one exchange feeds the
+            # final (src_id, p_dst) agg, the p_cur join AND the w_int
+            # window (hash(src_id) clusters all three; a hub holds <= k
+            # rows after the salted partial, so no skew re-enters). The
+            # former groupBy exchanged on (src_id, p_dst) and then
+            # re-exchanged for the join.
+            w_to = (
+                partial.repartition(p, "src_id")
+                .groupBy("src_id", "p_dst")
+                .agg(F.sum("w_part").alias("w"))
+            )
 
-            # w_int fused into the same pass: the p_cur join repartitions
-            # by src_id, so the window adds a sort but NO extra shuffle
-            # (previously a filtered self-join = one more exchange).
+            # w_int fused into the same pass: the window adds a sort but
+            # NO extra shuffle (previously a filtered self-join = one
+            # more exchange).
             cur = a.select(F.col("id").alias("src_id"), F.col("part").alias("p_cur"))
             w_to = w_to.join(cur.hint("shuffle_hash"), "src_id")
             w_vert = Window.partitionBy("src_id")
@@ -360,14 +382,15 @@ def balanced_partition(
                  "ssq": new_ssq, "moves": len(kept),
                  "objective_mode": objective_mode}
             )
+        # drift check: incremental bookkeeping must match a full
+        # recompute (still under the loop-scoped conf: the recompute
+        # joins the full edge table and wants the same partitioning)
+        final_obj, final_cut, final_ssq = exact_objective(
+            und, best, lam, objective_mode, pipeline_batch, k=k
+        )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
-
-    # drift check: incremental bookkeeping must match a full recompute
-    final_obj, final_cut, final_ssq = exact_objective(
-        und, best, lam, objective_mode, pipeline_batch, k=k
-    )
     history[-1]["objective_recomputed"] = final_obj
     assert abs(final_obj - best_obj) < 1e-6 * max(1.0, abs(final_obj)), (
         f"incremental objective drifted: {best_obj} vs {final_obj}"
