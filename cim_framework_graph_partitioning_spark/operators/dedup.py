@@ -40,8 +40,14 @@ def tokens_col(text_col: str = "text") -> F.Column:
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
-def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams per document."""
+def shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc_id, shingle) — word n-grams per document, distinct by
+    default (set semantics for Jaccard). ``distinct=False`` skips the
+    dedup shuffle for consumers that are duplicate-insensitive (a
+    min-hash over a multiset equals the min-hash over its support)."""
     toks = tokens_col(text_col)
     # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
     # (inferred step -1) and crash slice; docs shorter than n words have
@@ -53,10 +59,8 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # --- n-gram Jaccard -------------------------------------------------------
@@ -150,7 +154,10 @@ def minhash_signatures(
     scale. A numpy applyInPandas kernel is the documented fast path if
     k grows large.
     """
-    sh = shingles(docs, n, id_col, text_col)
+    # distinct=False: the min per (doc, pos) is duplicate-insensitive,
+    # so the signature path skips the shingle-dedup shuffle entirely
+    # (the map-side partial min absorbs any repeats)
+    sh = shingles(docs, n, id_col, text_col, distinct=False)
     hashes = F.array(*[_perm_hash(i, seed, hash_family) for i in range(k)])
     exploded = sh.select("doc_id", F.posexplode(hashes).alias("pos", "h"))
     return exploded.groupBy("doc_id", "pos").agg(F.min("h").alias("minhash"))
@@ -161,22 +168,39 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id", text_col: str = "text",
     hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """LSH candidate pairs: band the k-row signature into ``bands`` bands
-    of k/bands rows; docs sharing any band bucket become candidates.
-    Returns distinct (doc_a, doc_b), doc_a < doc_b.
+    """LSH candidate pairs: band the k-element signature into ``bands``
+    bands of k/bands values; docs sharing any band bucket become
+    candidates. Returns distinct (doc_a, doc_b), doc_a < doc_b.
 
-    shingle→minhash→band→bucket-join: every stage is a keyed shuffle."""
+    The signature is built as ONE wide aggregation (k min-columns per
+    doc) instead of posexplode + groupBy(doc, pos): the former k-fold
+    row amplification and its (doc, pos) shuffle collapse into a single
+    map-side-combined exchange of one row per document (guide §2.3:
+    aggregate before you shuffle). The bucket is xxhash64 over the
+    band's signature values — equal buckets iff equal band signatures
+    (modulo the same ~2^-64 bucket-hash collision the string-form
+    bucket had; the oracle compares band signatures by VALUE, so the
+    internal bucket encoding is free to change)."""
     r = k // bands
-    sig = minhash_signatures(docs, k, n, seed, id_col, text_col, hash_family)
-    banded = (
-        sig.withColumn("band", (F.col("pos") / r).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(",", F.sort_array(F.collect_list(F.struct("pos", "minhash"))).cast("string"))
-            ).alias("bucket")
-        )
+    sh = shingles(docs, n, id_col, text_col, distinct=False)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(_perm_hash(i, seed, hash_family)).alias(f"_h{i}")
+            for i in range(k)
+        ]
     )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.lit(b), *[F.col(f"_h{b * r + j}") for j in range(r)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("_bb")
+    ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -197,10 +221,17 @@ def minhash_near_duplicates(
     cands = minhash_lsh_candidates(docs, k, bands, n, seed, id_col, text_col, hash_family)
     sh = shingles(docs, n, id_col, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # equi-join on (doc_b, shingle): each candidate pair's intersection
+    # is enumerated directly. The former doc_b-only join materialized
+    # |sh(A)| x |sh(B)| rows per pair and filtered for equality after —
+    # a per-pair quadratic blowup (guide §3.3: join on the full key,
+    # don't explode then filter).
     inter = (
         cands.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")), "doc_b")
-        .filter(F.col("shingle") == F.col("sh_b"))
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -42,7 +42,6 @@ from pyspark.sql import functions as F
 
 from ..plans.scale import auto_blocks
 from ..plans.superstep import SuperstepRunner
-from .kcore import undirected_edges
 
 _MOD = 1 << 60
 
@@ -74,79 +73,97 @@ def wl_refinement(
     p = num_blocks or auto_blocks(
         edges.count(), spark.sparkContext.defaultParallelism
     )
-    und = (
-        undirected_edges(edges)
-        .select(F.col("src_id").alias("e_v"), F.col("dst_id").alias("e_u"))
-        .repartition(p, "e_u")
-        .persist()
-    )
-    und.count()
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        # ONE exchange: repartition by the probe key e_u, dedup in place
+        # (hash(e_u) clusters every (e_v, e_u) group — kcore pattern)
+        e = edges.select("src_id", "dst_id").filter(
+            F.col("src_id") != F.col("dst_id")
+        )
+        und = (
+            e.select(F.col("src_id").alias("e_v"), F.col("dst_id").alias("e_u"))
+            .unionByName(
+                e.select(F.col("dst_id").alias("e_v"), F.col("src_id").alias("e_u"))
+            )
+            .repartition(p, "e_u")
+            .dropDuplicates(["e_v", "e_u"])
+            .persist()
+        )
+        und.count()
 
-    verts = (
-        edges.select(F.col("src_id").alias("id"))
-        .unionByName(edges.select(F.col("dst_id").alias("id")))
-        .distinct()
-    )
-    deg = und.groupBy(F.col("e_v").alias("id")).agg(
-        F.count("*").cast("long").alias("_d")
-    )
-    init = (
-        verts.join(deg, "id", "left")
-        .select(
+        verts = (
+            edges.select(F.col("src_id").alias("id"))
+            .unionByName(edges.select(F.col("dst_id").alias("id")))
+            .distinct()
+        )
+        deg = und.groupBy(F.col("e_v").alias("id")).agg(
+            F.count("*").cast("long").alias("_d")
+        )
+        init = verts.join(deg, "id", "left").select(
             "id",
             _digest(F.coalesce(F.col("_d"), F.lit(0)).cast("string"))
             .alias("color"),
         )
-        .repartition(p, "id")
-    )
 
-    fixed = rounds is not None
-    bound = rounds if fixed else max_iter
+        fixed = rounds is not None
+        bound = rounds if fixed else max_iter
 
-    def step_fn(state: DataFrame, step: int):
-        s = state.select("id", "color").hint("shuffle_hash")
-        # commutative multiset digest: SUM of per-neighbor g(color)
-        # mod 2^60, carried in decimal(38) — map-side combinable
-        sums = (
-            s.join(und, s.id == und.e_u)
-            .select(
-                F.col("e_v").alias("id"),
-                _digest(F.col("color").cast("string"))
-                .cast("decimal(38,0)")
-                .alias("g"),
+        def step_fn(state: DataFrame, step: int):
+            s = state.select("id", "color").hint("shuffle_hash")
+            # commutative multiset digest: SUM of per-neighbor g(color)
+            # mod 2^60, carried in decimal(38) — map-side combinable
+            sums = (
+                s.join(und, s.id == und.e_u)
+                .select(
+                    F.col("e_v").alias("id"),
+                    _digest(F.col("color").cast("string"))
+                    .cast("decimal(38,0)")
+                    .alias("g"),
+                )
+                .groupBy("id")
+                .agg(F.pmod(F.sum("g"), F.lit(_MOD)).cast("long").alias("msum"))
             )
-            .groupBy("id")
-            .agg(F.pmod(F.sum("g"), F.lit(_MOD)).cast("long").alias("msum"))
-        )
-        new = (
-            state.join(sums.hint("shuffle_hash"), "id", "left")
-            .select(
-                "id",
-                _digest(
-                    F.col("color").cast("string"),
-                    F.coalesce(F.col("msum"), F.lit(0)).cast("string"),
-                ).alias("color"),
+            new = (
+                state.join(sums.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id",
+                    _digest(
+                        F.col("color").cast("string"),
+                        F.coalesce(F.col("msum"), F.lit(0)).cast("string"),
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
+            if fixed:
+                # fixed-round mode never consults the stability metric —
+                # computing the distinct-color count here was a full
+                # extra exchange+count job per round for nothing
+                return new, {}
+            n_colors = new.select("color").distinct().count()
+            return new, {"n_colors": float(n_colors)}
+
+        runner = SuperstepRunner(
+            spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
+            checkpoint_every=checkpoint_every,
         )
-        n_colors = new.select("color").distinct().count()
-        return new, {"n_colors": float(n_colors)}
+        seen = {"prev": -1.0}
 
-    runner = SuperstepRunner(
-        spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
-        checkpoint_every=checkpoint_every,
-    )
-    seen = {"prev": -1.0}
+        def stable(m: dict) -> bool:
+            if fixed:
+                return False  # run exactly `rounds` (max_iter bound below)
+            done = m["n_colors"] == seen["prev"]
+            seen["prev"] = m["n_colors"]
+            return done
 
-    def stable(m: dict) -> bool:
-        if fixed:
-            return False  # run exactly `rounds` (max_iter bound below)
-        done = m["n_colors"] == seen["prev"]
-        seen["prev"] = m["n_colors"]
-        return done
-
-    state, steps = runner.run(
-        init, step_fn, converged=stable, max_iter=bound, resume=resume,
-    )
+        state, steps = runner.run(
+            init, step_fn, converged=stable, max_iter=bound, resume=resume,
+            pre_truncated=True,  # step_fn checkpoints its own state
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
     und.unpersist()
     return state.select("id", "color"), steps
