@@ -41,12 +41,37 @@ _IMPORT_RE = {
 _IMPORT_RE["typescript"] = _IMPORT_RE["javascript"]
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def extract_refs(content: pd.Series, lang: pd.Series) -> pd.Series:
+def extract_refs(content: F.Column, lang: F.Column) -> F.Column:
     """Per-file list of referenced symbols (imports/includes), by lang.
 
-    Vectorized pandas ``.str.findall`` per language group — Arrow batch
-    in/out, zero per-row Python calls from Spark's side.
+    Pure JVM expression: a CASE over ``regexp_extract_all`` with the
+    per-language pattern (the ``(?m)`` flag inlined). This removes the
+    former ArrowEvalPython node — and with it the JVM→Python→JVM Arrow
+    round-trip of every file body — from the edge-derivation scan stage
+    (guide §4.1: built-ins over UDFs). The patterns are deliberately
+    RE2-compatible (no lookbehind/backrefs), so Java, Python and the
+    DuckDB oracle's RE2 all match them identically; findall with one
+    capture group ≡ regexp_extract_all(..., 1), both non-overlapping
+    left-to-right scans.
+    """
+    expr = F.array().cast(T.ArrayType(T.StringType()))
+    for lg, rx in _IMPORT_RE.items():
+        if lg == "typescript":
+            continue  # same compiled pattern object as javascript
+        pat = "(?m)" + rx.pattern
+        matched = F.regexp_extract_all(content, F.lit(pat), 1)
+        cond = (
+            lang.isin(lg, "typescript") if lg == "javascript" else lang == lg
+        )
+        expr = F.when(cond, matched).otherwise(expr)
+    return expr
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_refs_pandas(content: pd.Series, lang: pd.Series) -> pd.Series:
+    """Pandas-UDF reference implementation of ``extract_refs`` (the
+    former hot-path extractor, kept as the cross-engine equivalence
+    check the tests pin the JVM expression against).
     """
     out = pd.Series([[]] * len(content), index=content.index, dtype=object)
     for lg, rx in _IMPORT_RE.items():

@@ -66,3 +66,43 @@ def test_power_law_hub_exists(spark):
     # hub should dominate: top in-degree well above the mean
     mean = g.in_degrees().agg(F.avg("in_degree")).collect()[0][0]
     assert degs[0] > 10 * mean
+
+
+def test_extract_refs_jvm_matches_pandas_reference(spark):
+    """The JVM CASE/regexp_extract_all extractor (hot path since r6)
+    must agree with the pandas-UDF reference implementation on every
+    language, edge syntax, and the no-match/unknown-lang cases."""
+    from cim_framework_graph_partitioning_spark.functions.text import (
+        extract_refs,
+        extract_refs_pandas,
+    )
+
+    rows = [
+        ("python", "# module: m\nimport a.b\nfrom c import d\n  import e_f\nx=1"),
+        ("c", '#include <stdio.h>\n # include "lib/x.h"\nint main(){}'),
+        ("go", 'package p\nimport "fmt"\n  import "net/http"\n'),
+        ("javascript", "import x from 'mod-a'\nconst y = require('mod/b')\nimport 'side.css'\n"),
+        ("typescript", "import {z} from \"mod-c\";\nrequire('d')\n"),
+        ("java", "import static a.b.C;\nimport d.e.F ;\nclass X{}"),
+        ("rust", "pub use a::b;\nuse c_d::e;\nfn main(){}"),
+        ("haskell", "import Data.List\n"),  # unsupported lang -> []
+        ("python", "no imports here"),
+        ("python", ""),
+    ]
+    df = spark.createDataFrame(rows, "lang string, content string")
+    got = df.select(
+        "lang", extract_refs(F.col("content"), F.col("lang")).alias("r")
+    ).collect()
+    want = df.select(
+        "lang", extract_refs_pandas(F.col("content"), F.col("lang")).alias("r")
+    ).collect()
+    assert [(r.lang, r.r) for r in got] == [(r.lang, r.r) for r in want]
+    # and on the full synthesized corpus, all 7 languages at once
+    files = synthesize_corpus(spark, n_files=300, n_repos=6, seed=11)
+    a = files.select(
+        "repo", "path", extract_refs(F.col("content"), F.col("lang")).alias("r")
+    )
+    b = files.select(
+        "repo", "path", extract_refs_pandas(F.col("content"), F.col("lang")).alias("r")
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
