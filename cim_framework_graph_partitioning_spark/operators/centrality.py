@@ -39,7 +39,7 @@ Scale shape (same discipline as pagerank.py / hits.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.scale import auto_blocks
@@ -71,60 +71,66 @@ def katz_centrality(
     sc = spark.sparkContext
     p = num_blocks or auto_blocks(edges.count(), sc.defaultParallelism)
 
-    verts = (
-        edges.select(F.col("src_id").alias("id"))
-        .unionByName(edges.select(F.col("dst_id").alias("id")))
-        .distinct()
-        .repartition(p, "id")
-        .persist()
-    )
-    n = verts.count()
-    if n == 0:
-        return spark.createDataFrame([], "id long, katz double"), 0
-    e_by_src = (
-        edges.select("src_id", "dst_id", "weight")
-        .repartition(p, "src_id")
-        .persist()
-    )
-    e_by_src.count()
-
-    init = verts.select("id", F.lit(beta).alias("katz"))
-
-    def step_fn(state: DataFrame, step: int):
-        x = state.select("id", "katz").hint("shuffle_hash")
-        sums = (
-            x.join(e_by_src, x.id == e_by_src.src_id)
-            .select("dst_id", (F.col("katz") * F.col("weight")).alias("c"))
-            .groupBy("dst_id")
-            .agg(F.sum("c").alias("s"))
-        )
-        prev = state.select("id", F.col("katz").alias("prev"))
-        new = (
-            verts.join(sums.hint("shuffle_hash"), verts.id == sums.dst_id, "left")
-            .select(
-                "id",
-                (
-                    F.lit(beta)
-                    + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("katz"),
-            )
-            .join(prev, "id")
-            .localCheckpoint(eager=True)
-        )
-        delta = new.agg(
-            F.max(F.abs(F.col("katz") - F.col("prev"))).alias("d")
-        ).collect()[0].d
-        return new.select("id", "katz"), {"max_delta": float(delta or 0.0)}
-
-    runner = SuperstepRunner(
-        spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
-        checkpoint_every=checkpoint_every,
-    )
+    # loop-scoped conf BEFORE setup; caches released in the finally
+    # (they used to leak on a runner exception — ADVICE r5)
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    verts = e_by_src = None
     try:
+        verts = (
+            edges.select(F.col("src_id").alias("id"))
+            .unionByName(edges.select(F.col("dst_id").alias("id")))
+            .distinct()
+            .persist()
+        )
+        n = verts.count()
+        if n == 0:
+            return spark.createDataFrame([], "id long, katz double"), 0
+        e_by_src = (
+            edges.select("src_id", "dst_id", "weight")
+            .repartition(p, "src_id")
+            .persist()
+        )
+        e_by_src.count()
+
+        init = verts.select("id", F.lit(beta).alias("katz"))
+
+        def step_fn(state: DataFrame, step: int):
+            x = state.select("id", "katz").hint("shuffle_hash")
+            sums = (
+                x.join(e_by_src, x.id == e_by_src.src_id)
+                .select("dst_id", (F.col("katz") * F.col("weight")).alias("c"))
+                .groupBy("dst_id")
+                .agg(F.sum("c").alias("s"))
+            )
+            # the state IS the vertex table — one left join with the
+            # sums carries prev along; delta rides the checkpoint as an
+            # observed metric (one job per superstep, pagerank pattern)
+            obs = Observation()
+            new = (
+                state.join(sums.hint("shuffle_hash"), state.id == sums.dst_id, "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(beta)
+                        + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))
+                    ).alias("katz"),
+                    F.col("katz").alias("prev"),
+                )
+                .observe(
+                    obs, F.max(F.abs(F.col("katz") - F.col("prev"))).alias("d")
+                )
+                .select("id", "katz")
+                .localCheckpoint(eager=True)
+            )
+            return new, {"max_delta": float(obs.get["d"] or 0.0)}
+
+        runner = SuperstepRunner(
+            spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
+            checkpoint_every=checkpoint_every,
+        )
         scores, steps = runner.run(
             init,
             step_fn,
@@ -136,10 +142,11 @@ def katz_centrality(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
+        for c in (verts, e_by_src):
+            if c is not None:
+                c.unpersist()
     if metrics_sink is not None:
         metrics_sink.extend(runner.history)
-    verts.unpersist()
-    e_by_src.unpersist()
     return scores.select("id", "katz"), steps
 
 
@@ -166,75 +173,97 @@ def salsa(
     sc = spark.sparkContext
     p = num_blocks or auto_blocks(edges.count(), sc.defaultParallelism)
 
-    e = edges.select("src_id", "dst_id", "weight")
-    outw = e.groupBy("src_id").agg(F.sum("weight").alias("wo"))
-    inw = e.groupBy("dst_id").agg(F.sum("weight").alias("wi"))
-    # static normalized transition fractions, cached partitioned by the
-    # join key of their half-step — built once, never re-exchanged
-    e_fwd = (
-        e.join(outw, "src_id")
-        .select("src_id", "dst_id", (F.col("weight") / F.col("wo")).alias("fo"))
-        .repartition(p, "src_id")
-        .persist()
-    )
-    e_bwd = (
-        e.join(inw, "dst_id")
-        .select("src_id", "dst_id", (F.col("weight") / F.col("wi")).alias("fi"))
-        .repartition(p, "dst_id")
-        .persist()
-    )
-    e_fwd.count()
-    e_bwd.count()
-
-    srcs = e.select("src_id").distinct()
-    n_src = srcs.count()
-    if n_src == 0:
-        return spark.createDataFrame([], "id long, hub double, auth double"), 0
-    init = srcs.select(
-        F.col("src_id").alias("id"), F.lit(1.0 / n_src).alias("hub")
-    )
-
-    def step_fn(state: DataFrame, step: int):
-        h = state.select("id", "hub").hint("shuffle_hash")
-        a_tbl = (
-            h.join(e_fwd, h.id == e_fwd.src_id)
-            .select("dst_id", (F.col("hub") * F.col("fo")).alias("c"))
-            .groupBy("dst_id")
-            .agg(F.sum("c").alias("auth"))
-            .select(F.col("dst_id").alias("id"), "auth")
-            .localCheckpoint(eager=True)  # job 1: auth feeds the hub pass
-        )
-        a = a_tbl.hint("shuffle_hash")
-        h_tbl = (
-            a.join(e_bwd, a.id == e_bwd.dst_id)
-            .select("src_id", (F.col("auth") * F.col("fi")).alias("c"))
-            .groupBy("src_id")
-            .agg(F.sum("c").alias("hub"))
-            .select(F.col("src_id").alias("id"), "hub")
-        )
-        prev = state.select("id", F.col("hub").alias("prev_hub"))
-        new = h_tbl.join(prev, "id", "left").localCheckpoint(eager=True)
-        delta = new.agg(
-            F.max(
-                F.abs(F.col("hub") - F.coalesce(F.col("prev_hub"), F.lit(0.0)))
-            ).alias("d")
-        ).collect()[0].d
-        return new.select("id", "hub"), {"max_delta": float(delta or 0.0)}
-
-    # State is the hub distribution only (auth lives on the OTHER
-    # bipartite side — a per-step full-outer merge would add a barrier
-    # for nothing). The returned auth is the forward half-step induced
-    # by the FINAL hubs — one extra constant-cost pass after the loop;
-    # the SQL oracle replays this exact contract.
-    runner = SuperstepRunner(
-        spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
-        checkpoint_every=checkpoint_every,
-    )
+    # loop-scoped conf BEFORE setup; caches released in the finally
+    # (they used to leak on a runner exception — ADVICE r5)
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    e_fwd = e_bwd = None
     try:
+        e = edges.select("src_id", "dst_id", "weight")
+        # static normalized transition fractions via a window over the
+        # exchange each cache needs anyway (one exchange per side; the
+        # former groupBy+join+repartition chains paid two more each) —
+        # cached partitioned by the join key of their half-step
+        e_fwd = (
+            e.repartition(p, "src_id")
+            .select(
+                "src_id", "dst_id",
+                (F.col("weight") / F.sum("weight").over(
+                    Window.partitionBy("src_id")
+                )).alias("fo"),
+            )
+            .persist()
+        )
+        e_bwd = (
+            e.repartition(p, "dst_id")
+            .select(
+                "src_id", "dst_id",
+                (F.col("weight") / F.sum("weight").over(
+                    Window.partitionBy("dst_id")
+                )).alias("fi"),
+            )
+            .persist()
+        )
+        e_fwd.count()
+        e_bwd.count()
+
+        srcs = e.select("src_id").distinct()
+        n_src = srcs.count()
+        if n_src == 0:
+            return spark.createDataFrame([], "id long, hub double, auth double"), 0
+        init = srcs.select(
+            F.col("src_id").alias("id"), F.lit(1.0 / n_src).alias("hub")
+        )
+
+        def step_fn(state: DataFrame, step: int):
+            h = state.select("id", "hub").hint("shuffle_hash")
+            a_tbl = (
+                h.join(e_fwd, h.id == e_fwd.src_id)
+                .select("dst_id", (F.col("hub") * F.col("fo")).alias("c"))
+                .groupBy("dst_id")
+                .agg(F.sum("c").alias("auth"))
+                .select(F.col("dst_id").alias("id"), "auth")
+                .localCheckpoint(eager=True)  # job 1: auth feeds the hub pass
+            )
+            a = a_tbl.hint("shuffle_hash")
+            h_tbl = (
+                a.join(e_bwd, a.id == e_bwd.dst_id)
+                .select("src_id", (F.col("auth") * F.col("fi")).alias("c"))
+                .groupBy("src_id")
+                .agg(F.sum("c").alias("hub"))
+                .select(F.col("src_id").alias("id"), "hub")
+            )
+            prev = state.select("id", F.col("hub").alias("prev_hub"))
+            # job 2: checkpoint with the delta riding as an observed
+            # metric — the former third job (delta agg) is gone
+            obs = Observation()
+            new = (
+                h_tbl.join(prev, "id", "left")
+                .observe(
+                    obs,
+                    F.max(
+                        F.abs(
+                            F.col("hub")
+                            - F.coalesce(F.col("prev_hub"), F.lit(0.0))
+                        )
+                    ).alias("d"),
+                )
+                .select("id", "hub")
+                .localCheckpoint(eager=True)
+            )
+            return new, {"max_delta": float(obs.get["d"] or 0.0)}
+
+        # State is the hub distribution only (auth lives on the OTHER
+        # bipartite side — a per-step full-outer merge would add a barrier
+        # for nothing). The returned auth is the forward half-step induced
+        # by the FINAL hubs — one extra constant-cost pass after the loop;
+        # the SQL oracle replays this exact contract.
+        runner = SuperstepRunner(
+            spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
+            checkpoint_every=checkpoint_every,
+        )
         hubs, steps = runner.run(
             init,
             step_fn,
@@ -265,8 +294,9 @@ def salsa(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
+        for c in (e_fwd, e_bwd):
+            if c is not None:
+                c.unpersist()
     if metrics_sink is not None:
         metrics_sink.extend(runner.history)
-    e_fwd.unpersist()
-    e_bwd.unpersist()
     return out, steps

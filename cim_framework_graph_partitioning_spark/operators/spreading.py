@@ -23,7 +23,7 @@ is exchanged once; only the state shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.scale import auto_blocks
@@ -57,6 +57,26 @@ def label_spreading(
     sc = spark.sparkContext
     p = num_blocks or auto_blocks(edges.count(), sc.defaultParallelism)
 
+    # loop-scoped conf BEFORE setup; caches released in the finally
+    # (they used to leak on a runner exception — ADVICE r5)
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        return _label_spreading_inner(
+            spark, edges, seeds, alpha, tol, max_iter, p, checkpoint_dir,
+            checkpoint_every, resume, run_id, metrics_sink,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
+
+
+def _label_spreading_inner(
+    spark, edges, seeds, alpha, tol, max_iter, p, checkpoint_dir,
+    checkpoint_every, resume, run_id, metrics_sink,
+):
     e = edges.filter(F.col("src_id") != F.col("dst_id")).select(
         F.least("src_id", "dst_id").alias("a"),
         F.greatest("src_id", "dst_id").alias("b"),
@@ -135,26 +155,23 @@ def label_spreading(
                 ).hint("shuffle_hash"),
                 ["id", "label"], "left",
             )
+            .observe(
+                obs := Observation(),
+                F.max(
+                    F.abs(F.col("score") - F.coalesce(F.col("prev"), F.lit(0.0)))
+                ).alias("d"),
+            )
+            .select("id", "label", "score")
             .localCheckpoint(eager=True)
         )
-        delta = new.agg(
-            F.max(
-                F.abs(F.col("score") - F.coalesce(F.col("prev"), F.lit(0.0)))
-            ).alias("d")
-        ).collect()[0].d
-        return (
-            new.select("id", "label", "score"),
-            {"max_delta": float(delta or 0.0)},
-        )
+        # delta rides the checkpoint as an observed metric — the former
+        # separate stats job per superstep is gone (pagerank pattern)
+        return new, {"max_delta": float(obs.get["d"] or 0.0)}
 
     runner = SuperstepRunner(
         spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
         checkpoint_every=checkpoint_every,
     )
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
-    shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(p))
     try:
         scores, steps = runner.run(
             init,
@@ -165,10 +182,9 @@ def label_spreading(
             pre_truncated=True,
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-        spark.conf.set("spark.sql.shuffle.partitions", shuf_was)
+        # release the static caches even on a runner exception
+        norm.unpersist()
+        y.unpersist()
     if metrics_sink is not None:
         metrics_sink.extend(runner.history)
-    norm.unpersist()
-    y.unpersist()
     return scores.select("id", "label", "score"), steps

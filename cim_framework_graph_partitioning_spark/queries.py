@@ -3414,12 +3414,15 @@ def q_louvain_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to even-id movers (the movers= path — a coloring class
     stands in for it in the convergent composition; conflict-free
     monotonicity is pytest territory)."""
-    from .operators.community import louvain_move_round
+    from .operators.community import louvain_move_round, louvain_undirected
 
     e = co_part_edges(spark, sf_dir, order_mod=3)
-    l1 = louvain_move_round(e)
+    # symmetrize + validate ONCE for both rounds (r6: the prebuilt-und
+    # path — each round used to rebuild and re-probe the edge table)
+    und = louvain_undirected(e)
+    l1 = louvain_move_round(e, und=und)
     mv = l1.select("id").filter(F.pmod(F.col("id"), F.lit(2)) == 0)
-    l2 = louvain_move_round(e, labels=l1, movers=mv)
+    l2 = louvain_move_round(e, labels=l1, movers=mv, und=und)
     return l2.orderBy("id")
 
 
