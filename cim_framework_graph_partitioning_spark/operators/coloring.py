@@ -36,12 +36,11 @@ primitive the partitioner's move-selection uses implicitly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.scale import auto_blocks
 from ..plans.superstep import SuperstepRunner
-from .kcore import undirected_edges
 from .mis import _prio_hash
 
 
@@ -67,10 +66,24 @@ def greedy_coloring(
     p = num_blocks or auto_blocks(
         edges.count(), spark.sparkContext.defaultParallelism
     )
+    # loop-scoped conf BEFORE setup (pagerank discipline); restored at
+    # the end of coloring below
+    _aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    _shuf_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    # ONE exchange: repartition by the probe key e_u, dedup in place
+    # (hash(e_u) clusters every (e_v, e_u) group — kcore pattern)
+    _e = edges.select("src_id", "dst_id").filter(
+        F.col("src_id") != F.col("dst_id")
+    )
     und = (
-        undirected_edges(edges)
-        .select(F.col("src_id").alias("e_v"), F.col("dst_id").alias("e_u"))
+        _e.select(F.col("src_id").alias("e_v"), F.col("dst_id").alias("e_u"))
+        .unionByName(
+            _e.select(F.col("dst_id").alias("e_v"), F.col("src_id").alias("e_u"))
+        )
         .repartition(p, "e_u")
+        .dropDuplicates(["e_v", "e_u"])
         .persist()
     )
     und.count()
@@ -84,7 +97,7 @@ def greedy_coloring(
         "id",
         _prio_hash(seed, hash_family).alias("h"),
         F.lit(None).cast("int").alias("color"),
-    ).repartition(p, "id")
+    )
 
     def step_fn(state: DataFrame, step: int):
         uncol = state.filter(F.col("color").isNull())
@@ -139,18 +152,29 @@ def greedy_coloring(
                 "id", "h",
                 F.coalesce(F.col("color"), F.col("new_color")).alias("color"),
             )
+            .observe(
+                obs := Observation(),
+                F.sum(
+                    F.when(F.col("color").isNull(), 1).otherwise(0)
+                ).alias("n"),
+            )
             .localCheckpoint(eager=True)
         )
-        remaining = new_state.filter(F.col("color").isNull()).count()
-        return new_state, {"uncolored": float(remaining)}
+        # ONE job per superstep: uncolored-count rides the checkpoint
+        return new_state, {"uncolored": float(obs.get["n"] or 0)}
 
     runner = SuperstepRunner(
         spark, checkpoint_dir=checkpoint_dir, run_id=run_id,
         checkpoint_every=checkpoint_every,
     )
-    state, steps = runner.run(
-        init, step_fn, converged=lambda m: m["uncolored"] == 0,
-        max_iter=max_iter, resume=resume,
-    )
-    und.unpersist()
+    try:
+        state, steps = runner.run(
+            init, step_fn, converged=lambda m: m["uncolored"] == 0,
+            max_iter=max_iter, resume=resume,
+            pre_truncated=True,  # step_fn checkpoints its own state
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", _shuf_was)
+        und.unpersist()
     return state.select("id", "color"), steps

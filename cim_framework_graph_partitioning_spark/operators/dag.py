@@ -25,7 +25,7 @@ construction, graph.py:4-6); ``topological_levels`` raises on cycles
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.barrier import PlanBarrier, release_checkpoint
@@ -153,16 +153,24 @@ def longest_path_lengths(
             seg = dist
             for _b in range(fuse_steps):
                 seg = relax(seg)
-            seg = seg.persist()
-            changed = (
+            # ONE job per segment: join prev (co-partitioned with the
+            # checkpointed dist — no extra exchange) and let the
+            # changed-count ride the barrier cut's materialization as an
+            # observed metric; the former persist+count+cut pair
+            # materialized every segment twice.
+            obs = Observation()
+            merged = (
                 seg.join(dist.select("id", F.col("dist").alias("prev")), "id")
-                .filter(F.col("dist") != F.col("prev"))
-                .count()
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("dist") != F.col("prev"), 1).otherwise(0)
+                    ).alias("n"),
+                )
+                .select("id", "dist")
             )
-            trunc = barrier.cut(seg)
-            seg.unpersist()
-            dist = trunc
-            if changed == 0:
+            dist = barrier.cut(merged)
+            if (obs.get["n"] or 0) == 0:
                 break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", shuf_was)

@@ -32,7 +32,7 @@ Scale shape (same discipline as pagerank.py/kcore.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.scale import auto_blocks
@@ -102,6 +102,10 @@ def shortest_paths(
             .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
         )
         prev = state.select("id", F.col("dist").alias("prev"))
+        # ONE job per superstep: the changed-count rides the checkpoint
+        # materialization as an observed metric (pagerank pattern), and
+        # the checkpointed state drops the prev column
+        obs = Observation()
         new_state = (
             prev.join(cand.hint("shuffle_hash"), prev.id == cand.dst_id, "left")
             .select(
@@ -112,15 +116,14 @@ def shortest_paths(
                     F.col("cand").isNotNull()
                     & (F.col("prev").isNull() | (F.col("cand") < F.col("prev")))
                 ).alias("changed"),
-                "prev",
+            )
+            .observe(
+                obs,
+                F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("n"),
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = new_state.filter(F.col("changed")).count()
-        return (
-            new_state.select("id", "dist", "changed"),
-            {"changed": float(n_changed)},
-        )
+        return new_state, {"changed": float(obs.get["n"] or 0)}
 
     runner = SuperstepRunner(
         spark, checkpoint_dir=checkpoint_dir, run_id=run_id,

@@ -61,7 +61,7 @@ naively):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.barrier import PlanBarrier
@@ -146,6 +146,11 @@ def _scc_rounds(
         rounds += 1
         if rounds > max_rounds:
             raise RuntimeError(f"scc: not done after {max_rounds} rounds")
+        # TWO cached copies of the (shrinking) remainder edge table,
+        # partitioned by each fixpoint's probe key: the forward color
+        # pass joins on src_id, the backward reach pass on dst_id — the
+        # former single src-keyed cache forced a full er re-exchange on
+        # EVERY backward segment (hits.py discipline).
         er = (
             e_all.join(remaining.withColumnRenamed("id", "src_id"), "src_id")
             .join(remaining.withColumnRenamed("id", "dst_id"), "dst_id")
@@ -154,6 +159,8 @@ def _scc_rounds(
             .persist()
         )
         er.count()
+        er_by_dst = er.repartition(p, "dst_id").persist()
+        er_by_dst.count()
 
         # -- phase 1: forward max-color propagation to fixpoint,
         # frontier-based: max() is monotone, so only vertices whose
@@ -194,12 +201,15 @@ def _scc_rounds(
             seg = color
             for _b in range(fuse_steps):
                 seg = color_step(seg)
-            seg = seg.persist()
-            changed = seg.filter(F.col("chg")).count()
-            trunc = barrier.cut(seg)
-            seg.unpersist()
-            color = trunc
-            if changed == 0:
+            # ONE job per segment: the changed-count rides the barrier
+            # cut's materialization as an observed metric (the former
+            # persist+count+cut pair materialized the segment twice)
+            obs = Observation()
+            seg = seg.observe(
+                obs, F.sum(F.when(F.col("chg"), 1).otherwise(0)).alias("n")
+            )
+            color = barrier.cut(seg)
+            if (obs.get["n"] or 0) == 0:
                 break
         else:
             raise RuntimeError("scc: color propagation did not converge")
@@ -225,10 +235,12 @@ def _scc_rounds(
             # state stays one-row-per-vertex even when a vertex sees
             # marked out-neighbors of several colors
             newly = (
-                er.join(marked.hint("shuffle_hash"), er.dst_id == marked.m_id)
+                er_by_dst.join(
+                    marked.hint("shuffle_hash"), er_by_dst.dst_id == marked.m_id
+                )
                 .join(
                     state.select("id", F.col("color").alias("v_color")),
-                    er.src_id == F.col("id"),
+                    er_by_dst.src_id == F.col("id"),
                 )
                 .filter(F.col("m_color") == F.col("v_color"))
                 .select("id")
@@ -248,12 +260,13 @@ def _scc_rounds(
             seg = reach
             for _b in range(fuse_steps):
                 seg = reach_step(seg)
-            seg = seg.persist()
-            changed = seg.filter(F.col("frontier")).count()
-            trunc = barrier.cut(seg)
-            seg.unpersist()
-            reach = trunc
-            if changed == 0:
+            obs = Observation()
+            seg = seg.observe(
+                obs,
+                F.sum(F.when(F.col("frontier"), 1).otherwise(0)).alias("n"),
+            )
+            reach = barrier.cut(seg)
+            if (obs.get["n"] or 0) == 0:
                 break
         else:
             raise RuntimeError("scc: backward reachability did not converge")
@@ -268,5 +281,6 @@ def _scc_rounds(
             .localCheckpoint(eager=True)
         )
         er.unpersist()
+        er_by_dst.unpersist()
 
     return result

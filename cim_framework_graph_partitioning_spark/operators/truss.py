@@ -48,7 +48,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.scale import auto_blocks
@@ -65,16 +65,26 @@ def _edge_incidence(und: DataFrame) -> DataFrame:
     member edges are re-canonicalized to (min, max) so they join the
     support/value tables on one key shape.
     """
+    # (x, y, z) sorted vertex triple. The middle element is picked by
+    # COMPARISON, not as sum-min-max: triangle vertices are distinct,
+    # and the former a+b+c sum overflowed long under ANSI mode for
+    # xxhash64-range vertex ids (latent until a corpus-derived graph —
+    # full 64-bit ids — had any triangle; found in the r6 verify drive).
     tri = _closed_wedges(und).select(
         F.least("a", "b", "c").alias("x"),
-        F.expr(
-            "CAST(a AS BIGINT) + CAST(b AS BIGINT) + CAST(c AS BIGINT)"
-        ).alias("s"),
+        F.when(
+            (F.col("a") != F.least("a", "b", "c"))
+            & (F.col("a") != F.greatest("a", "b", "c")),
+            F.col("a"),
+        )
+        .when(
+            (F.col("b") != F.least("a", "b", "c"))
+            & (F.col("b") != F.greatest("a", "b", "c")),
+            F.col("b"),
+        )
+        .otherwise(F.col("c"))
+        .alias("y"),
         F.greatest("a", "b", "c").alias("z"),
-    )
-    # (x, y, z) sorted vertex triple; y = sum - min - max
-    tri = tri.select(
-        "x", (F.col("s") - F.col("x") - F.col("z")).alias("y"), "z"
     )
     tid = F.concat_ws("|", "x", "y", "z").alias("tid")
     members = [
@@ -170,6 +180,10 @@ def trussness(
             )
         )
         prev = state.select("eu", "ev", F.col("t").alias("prev"))
+        # ONE job per superstep: changed-count rides the checkpoint
+        # materialization as an observed metric; prev is dropped from
+        # the checkpointed state (pagerank pattern)
+        obs = Observation()
         new_state = (
             prev.join(hidx.hint("shuffle_hash"), ["eu", "ev"], "left")
             .select(
@@ -178,10 +192,16 @@ def trussness(
                 F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("t"),
                 "prev",
             )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("t") != F.col("prev"), 1).otherwise(0)
+                ).alias("n"),
+            )
+            .select("eu", "ev", "t")
             .localCheckpoint(eager=True)
         )
-        changed = new_state.filter(F.col("t") != F.col("prev")).count()
-        return new_state.select("eu", "ev", "t"), {"changed": float(changed)}
+        return new_state, {"changed": float(obs.get["n"] or 0)}
 
     runner = SuperstepRunner(
         spark, checkpoint_dir=checkpoint_dir, run_id=run_id,

@@ -36,7 +36,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.scale import auto_blocks
@@ -120,11 +120,15 @@ def random_walks(
 
     for step in range(1, walk_length + 1):
         pick = F.pmod(_step_hash(step, seed, hash_family), F.col("deg"))
+        # live-walk count rides the checkpoint as an observed metric —
+        # the former limit(1).count() early-exit probe job is gone
+        obs = Observation()
         nxt = (
             cur.hint("shuffle_hash")
             .join(adj, cur.cur == adj.src_id)
             .filter(F.col("rank") == pick)
             .select("start_id", "walk_no", F.col("dst_id").alias("cur"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
         out = out.unionByName(
@@ -134,7 +138,7 @@ def random_walks(
             )
         )
         cur = nxt
-        if cur.limit(1).count() == 0:
+        if (obs.get["n"] or 0) == 0:
             break
 
     adj.unpersist()
@@ -264,6 +268,7 @@ def biased_walks(
                     F.col("cur").alias("prev"),
                     F.col("dst_id").alias("cur"),
                 )
+                .observe(obs := Observation(), F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
             )
         else:
@@ -302,6 +307,7 @@ def biased_walks(
                     F.col("cur").alias("prev"),
                     F.col("dst_id").alias("cur"),
                 )
+                .observe(obs := Observation(), F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
             )
         out = out.unionByName(
@@ -311,7 +317,8 @@ def biased_walks(
             )
         )
         cur = nxt
-        if cur.limit(1).count() == 0:
+        # live-walk count observed on the checkpoint (no probe job)
+        if (obs.get["n"] or 0) == 0:
             break
 
     adj.unpersist()

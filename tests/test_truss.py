@@ -72,3 +72,24 @@ def test_trussness_symmetrizes_and_drops_self_loops(spark):
     got_df, _ = trussness(spark, _edges_df(spark, noisy))
     got = {(r.src_id, r.dst_id): r.trussness for r in got_df.collect()}
     assert got == {e: 3 for e in pairs}
+
+
+def test_trussness_full_range_hash_ids(spark):
+    """xxhash64-range vertex ids (near ±2^63) must not overflow the
+    incidence build: the former middle-element-by-sum computation did
+    (ANSI long overflow), latent until a full-64-bit-id graph had a
+    triangle (r6)."""
+    from pyspark.sql import functions as F
+
+    big = 2**62 + 17
+    rows = [(-big, big, 1.0), (big, big - 3, 1.0), (big - 3, -big, 1.0),
+            (-big, 5, 1.0)]
+    df = spark.createDataFrame(rows, "src_id long, dst_id long, weight double")
+    tr, _ = trussness(spark, df)
+    got = {(r.src_id, r.dst_id): r.trussness for r in tr.collect()}
+    # the 3-cycle's edges are in one triangle -> trussness 3; the
+    # pendant edge is trussness 2
+    tri_edges = {(min(a, b), max(a, b)) for a, b in
+                 [(-big, big), (big, big - 3), (big - 3, -big)]}
+    for k, v in got.items():
+        assert v == (3 if k in tri_edges else 2), (k, v)
