@@ -29,7 +29,7 @@ north rule alongside PageRank/HITS.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.barrier import release_checkpoint
@@ -107,29 +107,30 @@ def _bfs_levels(
         return []
     levels.append(frontier)
     reached = frontier.select("s", "v")
-    scratch: list[DataFrame] = []
     for _d in range(max_depth):
+        # new-frontier size rides the level checkpoint as an observed
+        # metric (no separate isEmpty probe job), and `reached` stays a
+        # lazy union of the already-checkpointed level frames — the
+        # former re-checkpoint of the whole reached set every level
+        # re-materialized O(levels x reached) rows for nothing.
+        obs = Observation()
         nxt = (
             frontier.hint("shuffle_hash")
             .join(e, frontier.v == e.src_id)
             .groupBy("s", F.col("dst_id").alias("v"))
             .agg(F.sum("sigma").alias("sigma"))
             .join(reached, ["s", "v"], "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if (obs.get["n"] or 0) == 0:
             release_checkpoint(nxt)
             break
         levels.append(nxt)
-        reached = reached.unionByName(nxt.select("s", "v")).localCheckpoint(
-            eager=True
-        )
-        scratch.append(reached)
+        reached = reached.unionByName(nxt.select("s", "v"))
         frontier = nxt
     else:
         raise RuntimeError(f"BFS exceeded max_depth={max_depth}")
-    for fr in scratch:
-        release_checkpoint(fr)
     return levels
 
 
