@@ -160,9 +160,14 @@ def _cc_two_phase(
         def step_fn(E: DataFrame, step: int):
             # large-star: group the symmetrized view by u, connect big
             # neighbors to the local min. Output stays canonical (v > m).
+            # sym and ls each feed TWO consumers (mins+join, mins2+join):
+            # LAZY per-step persists make the single checkpoint job
+            # compute each once instead of twice (no extra jobs — the
+            # cache fills mid-job at the stage boundary) and are released
+            # right after the materialization.
             sym = E.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
                 E.select(F.col("b").alias("u"), F.col("a").alias("v"))
-            )
+            ).persist()
             mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
             ls = (
                 sym.join(mins.hint("shuffle_hash"), "u")
@@ -172,6 +177,7 @@ def _cc_two_phase(
                     F.least(F.col("u"), F.col("mn")).alias("b"),
                 )
                 .distinct()
+                .persist()
             )
             # small-star: per node a, connect a and all smaller neighbors
             # to the min smaller neighbor.
@@ -198,6 +204,8 @@ def _cc_two_phase(
                 .localCheckpoint(eager=True)
             )
             m = obs.get
+            sym.unpersist()
+            ls.unpersist()
             sig = (m["n"], m["h1"], m["h2"])
             changed = 0.0 if sig == prev_sig["sig"] else 1.0
             prev_sig["sig"] = sig

@@ -126,6 +126,10 @@ def maximal_independent_set(
                 F.struct(F.col("h"), F.col("id")).alias("nprio"),
             )
             nbr_min = nbr.groupBy("v").agg(F.min("nprio").alias("min_nprio"))
+            # joiners feeds TWO consumers (the status update and the
+            # exclusion propagation): a LAZY per-step persist makes the
+            # single checkpoint job compute the local-min subtree once
+            # instead of twice (released right after materialization)
             joiners = (
                 undec.join(nbr_min.hint("shuffle_hash"),
                            undec.id == nbr_min.v, "left")
@@ -134,6 +138,7 @@ def maximal_independent_set(
                     | (F.struct(F.col("h"), F.col("id")) < F.col("min_nprio"))
                 )
                 .select("id")
+                .persist()
             )
             # neighbors of joiners (strict minima ⇒ never joiners themselves)
             j = joiners.select(F.col("id").alias("e_u")).hint("shuffle_hash")
@@ -163,6 +168,7 @@ def maximal_independent_set(
                 )
                 .localCheckpoint(eager=True)
             )
+            joiners.unpersist()
             return new_state, {"undecided": float(obs.get["undec"] or 0)}
 
         runner = SuperstepRunner(
