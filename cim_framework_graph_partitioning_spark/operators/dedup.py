@@ -52,6 +52,9 @@ def shingles(
     # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
     # (inferred step -1) and crash slice; docs shorter than n words have
     # no shingles — emit NULL, which explode drops.
+    # (r6 note: an element_at-per-token variant was measured 2x SLOWER
+    # than slice at bench scale — ANSI bounds checks per access beat the
+    # slice copies at realistic doc lengths; keep slice.)
     sh = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -167,6 +170,7 @@ def minhash_lsh_candidates(
     docs: DataFrame, k: int = 32, bands: int = 8, n: int = 3, seed: int = 42,
     id_col: str = "doc_id", text_col: str = "text",
     hash_family: str = "xxhash64",
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the k-element signature into ``bands``
     bands of k/bands values; docs sharing any band bucket become
@@ -182,7 +186,9 @@ def minhash_lsh_candidates(
     bucket had; the oracle compares band signatures by VALUE, so the
     internal bucket encoding is free to change)."""
     r = k // bands
-    sh = shingles(docs, n, id_col, text_col, distinct=False)
+    sh = _shingles if _shingles is not None else shingles(
+        docs, n, id_col, text_col, distinct=False
+    )
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(_perm_hash(i, seed, hash_family)).alias(f"_h{i}")
@@ -198,9 +204,17 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
+    # MATERIALIZED (localCheckpoint, not persist: a persist would be
+    # plan-equality-matched by the cache manager and silently reused by
+    # a later identical call — cross-run caching the round contract
+    # forbids; a checkpoint is call-local): both self-join legs below
+    # read the same banded table, which otherwise re-evaluates the whole
+    # shingle→signature subtree per leg.
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("_bb")
-    ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    ).select(
+        "doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    ).localCheckpoint(eager=True)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -218,8 +232,16 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified by exact n-gram Jaccard ≥ threshold.
     Returns (doc_a, doc_b, jaccard)."""
-    cands = minhash_lsh_candidates(docs, k, bands, n, seed, id_col, text_col, hash_family)
-    sh = shingles(docs, n, id_col, text_col)
+    # ONE materialized distinct shingle table (localCheckpoint — see the
+    # banded note in minhash_lsh_candidates for why not persist) feeds
+    # BOTH the signature build (a min-hash over the distinct support
+    # equals the min-hash over the multiset) and the Jaccard
+    # verification (sizes + both intersection legs): the former plan
+    # re-derived the shingle scan four times per run.
+    sh = shingles(docs, n, id_col, text_col).localCheckpoint(eager=True)
+    cands = minhash_lsh_candidates(
+        docs, k, bands, n, seed, id_col, text_col, hash_family, _shingles=sh
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # equi-join on (doc_b, shingle): each candidate pair's intersection
     # is enumerated directly. The former doc_b-only join materialized
