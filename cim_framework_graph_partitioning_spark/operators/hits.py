@@ -111,10 +111,10 @@ def _hits_inner(
         return spark.createDataFrame([], "id long, hub double, auth double"), 0
 
     e = edges.select("src_id", "dst_id", "weight")
+    # lazy caches: step 1's two matvec jobs materialize each inside the
+    # job that first scans it (two eager setup counts were two extra jobs)
     e_by_src = e.repartition(p, "src_id").persist()
     e_by_dst = e.repartition(p, "dst_id").persist()
-    e_by_src.count()
-    e_by_dst.count()
 
     init = verts.select(
         "id",

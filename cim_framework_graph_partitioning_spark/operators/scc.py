@@ -159,8 +159,9 @@ def _scc_rounds(
             .persist()
         )
         er.count()
+        # lazy: the first backward segment materializes this cache inside
+        # its own job (an eager count here was one extra job per round)
         er_by_dst = er.repartition(p, "dst_id").persist()
-        er_by_dst.count()
 
         # -- phase 1: forward max-color propagation to fixpoint,
         # frontier-based: max() is monotone, so only vertices whose
